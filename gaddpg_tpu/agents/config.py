@@ -1,0 +1,60 @@
+"""Agent hyperparameters (defaults = reference experiments/config.py)."""
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AgentConfig:
+    """Mirrors the RL_TRAIN block of the reference config
+    (reference: experiments/config.py:67-177). Only fields consumed by
+    the jitted update paths live here; env/ rollout knobs live in
+    train/config.py.
+    """
+
+    # architecture
+    feature_dim: int = 512
+    hidden_size: int = 256
+    action_dim: int = 6
+    use_time: bool = True
+    policy_aux: bool = True
+    critic_aux: bool = True
+    sa_channel_concat: bool = True
+
+    # optimization
+    lr: float = 3e-4
+    value_lr: float = 3e-4
+    feature_lr: float = 1e-3
+    lr_gamma: float = 0.5
+    value_lr_gamma: float = 0.5
+    feature_lr_gamma: float = 0.3
+    policy_milestones: Tuple[int, ...] = (20000, 40000, 60000, 80000)
+    value_milestones: Tuple[int, ...] = (20000, 40000, 60000, 80000)
+    feature_milestones: Tuple[int, ...] = (8000, 16000, 30000, 50000, 70000, 90000)
+    clip_grad: float = 0.5
+    batch_size: int = 256
+    weight_decay: float = 1e-5
+    adam_eps: float = 1e-5
+    train_feature: bool = True
+    train_value_feature: bool = True
+
+    # RL
+    gamma: float = 0.95
+    tau: float = 1e-4
+    policy_update_gap: int = 2
+    target_update_interval: int = 3000
+    action_noise: float = 0.01
+    noise_type: str = "uniform"
+    # mix schedules (reference: experiments/config.py:87-89, ddpg.py:108-117)
+    mix_milestones: Tuple[int, ...] = (
+        4000, 8000, 20000, 40000, 60000, 80000, 100000, 140000, 180000,
+    )
+    mix_policy_ratio_list: Tuple[float, ...] = (0.1, 0.2)
+    mix_value_ratio_list: Tuple[float, ...] = (1.0,)
+    mix_policy_ratio_cap: float = 0.2  # ddpg_coefficients[4]
+    mix_value_ratio_cap: float = 1.0   # ddpg_coefficients[3]
+    noise_ratio_list: Tuple[float, ...] = (3.0, 2.5, 2.0, 1.5, 1.0, 0.5)
+
+    @property
+    def num_inputs(self) -> int:
+        return self.feature_dim + (1 if self.use_time else 0)

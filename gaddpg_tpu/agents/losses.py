@@ -1,0 +1,57 @@
+"""Point-matching (PM) losses over gripper control points.
+
+Same math as the reference (reference: core/loss.py:17-31): transform
+the 6 canonical control points by predicted and target poses, take the
+L1 distance summed over xyz, averaged over points and (masked) batch.
+Masks are handled with weighted means instead of boolean indexing so
+shapes stay static under jit.
+"""
+
+import jax.numpy as jnp
+
+from gaddpg_tpu.geometry.gripper import (
+    transform_control_points_qt,
+    control_points_from_euler_trans,
+)
+
+
+def _masked_mean(x, mask):
+    """Mean of x (B, ...) over entries where mask (B,) is True; 0 if none."""
+    if mask is None:
+        return jnp.mean(x)
+    w = mask.astype(x.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    # x reduced over all non-batch axes first
+    per_item = x.reshape(x.shape[0], -1).mean(axis=-1)
+    return jnp.sum(per_item * w) / denom
+
+
+def goal_pred_loss(pred_qt, goal_qt, mask=None):
+    """PM loss between 7-d [quat, trans] grasp predictions and targets.
+
+    (reference: core/loss.py:17-23, rotz=True control points)
+    """
+    pred_pts = transform_control_points_qt(pred_qt, rotz=True)
+    goal_pts = transform_control_points_qt(goal_qt, rotz=True)
+    l1 = jnp.abs(pred_pts - goal_pts).sum(-1)  # (B, 6)
+    return _masked_mean(l1, mask)
+
+
+def pose_bc_loss(pi, expert_action, mask=None):
+    """PM behavior-cloning loss between 6-d [trans, euler] actions.
+
+    (reference: core/loss.py:25-31)
+    """
+    pred_pts = control_points_from_euler_trans(pi[..., 3:6], pi[..., :3])
+    gt_pts = control_points_from_euler_trans(
+        expert_action[..., 3:6], expert_action[..., :3]
+    )
+    l1 = jnp.abs(pred_pts - gt_pts).sum(-1)
+    return _masked_mean(l1, mask)
+
+
+def smooth_l1(pred, target, mask=None, beta: float = 1.0):
+    """Huber/smooth-L1 (torch F.smooth_l1_loss semantics, beta=1)."""
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
+    return _masked_mean(loss, mask)

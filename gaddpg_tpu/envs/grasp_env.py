@@ -1,0 +1,380 @@
+"""PandaGraspEnv: functional vectorized 6-DoF grasping environment.
+
+Re-design of `PandaYCBEnv` (reference: env/panda_scene.py:115-1352) as a
+pure JAX program. One env step:
+
+    task-space delta action -> warm-started DLS IK -> joint servo targets
+    -> 150 x 1 ms physics substeps -> wrist-camera point render ->
+    accumulation -> 4x1030 point state -> termination heuristics
+
+World frame: robot base at the origin ON the table plane (z=0), i.e.
+the reference world shifted by its base offset
+(reference: env/panda_gripper_hand_camera.py:32 puts the base at
+z=-0.65 == the table top; objects spawn at x 0.5-0.6, y +-0.125
+relative to the base, reference: env/panda_scene.py:1000-1001).
+
+Everything vmaps over the env axis; `PandaGraspEnv.step` has no Python
+branching on traced values.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gaddpg_tpu.envs.assets import ObjectLibrary
+from gaddpg_tpu.expert.goals import nearest_grasp_goal
+from gaddpg_tpu.expert.servo import expert_action as servo_expert_action
+from gaddpg_tpu.expert.servo import expert_plan_length
+from gaddpg_tpu.geometry.rotations import quat_to_mat
+from gaddpg_tpu.geometry.se3 import (
+    pack_pose_rot_first,
+    se3_from_quat_pos,
+    se3_inverse,
+    unpack_action,
+)
+from gaddpg_tpu.models.heads import TASK6D_HIGH
+from gaddpg_tpu.physics.step import physics_step
+from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
+from gaddpg_tpu.render.camera import CameraParams, render_depth_points, visible_points
+from gaddpg_tpu.render.pointcloud import (
+    PointCloudState,
+    accumulate_points,
+    build_point_state,
+    create_pc_state,
+)
+from gaddpg_tpu.robot.ik import dls_ik, ik_from_seeds
+from gaddpg_tpu.robot.panda import DEFAULT_JOINTS, fk_hand
+
+# camera optical frame relative to the hand: optical +z == hand +z
+# (the reference's effective look direction after its GL round trip,
+# reference: env/panda_scene.py:829-861), offset 36 mm forward/up
+# (reference: env/panda_scene.py:200-202).
+T_CAM = jnp.eye(4).at[0, 3].set(0.036).at[2, 3].set(0.036)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvParams:
+    physics: PhysicsParams = PhysicsParams()
+    camera: CameraParams = CameraParams()
+    max_steps: int = 20                  # RL_MAX_STEP
+    uniform_num_pts: int = 1024
+    pt_accumulate_ratio: float = 0.95
+    pc_capacity: int = 2048
+    new_points_per_step: int = 512
+    init_near: float = 0.2               # ENV_NEAR
+    init_far: float = 0.5                # ENV_FAR
+    spawn_x: Tuple[float, float] = (0.50, 0.60)
+    spawn_y: Tuple[float, float] = (-0.125, 0.125)
+    step_ik_iters: int = 8
+    settle_substeps: int = 200
+    termination_heuristics: bool = True
+    lift_height: float = 0.08            # success (reference: :877)
+    fall_height: float = 0.03            # failure (reference: :868)
+    retract_lift_steps: int = 10
+    retract_step_dz: float = 0.03
+
+
+@struct.dataclass
+class EnvState:
+    phys: PhysicsState
+    pc: PointCloudState
+    obj_idx: jnp.ndarray          # int32
+    env_step: jnp.ndarray         # int32
+    init_obj_z: jnp.ndarray       # f32
+    goal_obj: jnp.ndarray         # (4,4) grasp goal in object frame
+    collided: jnp.ndarray         # bool: contact this step
+    collided_before: jnp.ndarray  # bool: any contact so far
+    done: jnp.ndarray             # bool
+    valid_scene: jnp.ndarray      # bool (check_scene analogue)
+
+
+@struct.dataclass
+class Observation:
+    point_state: jnp.ndarray   # (4, 6 + num_pts)
+    num_points: jnp.ndarray    # int32 accumulated-point count
+    joint_pos: jnp.ndarray     # (9,)
+    ef_pose: jnp.ndarray       # (4, 4) hand in world
+    goal_pose: jnp.ndarray     # (7,) [q, t] hand->goal
+
+
+class PandaGraspEnv:
+    """Bundles static params + the object library; methods are pure."""
+
+    def __init__(self, params: EnvParams, lib: ObjectLibrary):
+        self.p = params
+        self.lib = lib
+        self.base_pose = jnp.eye(4)
+
+    # ------------------------------------------------------------------
+    def _obj_pose(self, obj: BodyState):
+        return se3_from_quat_pos(obj.quat, obj.pos)
+
+    def _hand(self, state: EnvState):
+        return fk_hand(state.phys.arm.q[:7], self.base_pose)
+
+    def _goal_world(self, state: EnvState):
+        return self._obj_pose(state.phys.obj) @ state.goal_obj
+
+    def _camera_pose_inv(self, hand):
+        return se3_inverse(hand @ T_CAM)
+
+    # ------------------------------------------------------------------
+    def _observe(self, state: EnvState, key) -> Tuple[EnvState, Observation]:
+        p = self.p
+        hand = self._hand(state)
+        obj_pose = self._obj_pose(state.phys.obj)
+        surf = self.lib.surface_points[state.obj_idx]  # (NP, 3)
+        surf_w = surf @ obj_pose[:3, :3].T + obj_pose[:3, 3]
+
+        cam_inv = self._camera_pose_inv(hand)
+        pts_cam, pts_valid = visible_points(
+            p.camera, cam_inv, surf_w, max_points=p.new_points_per_step
+        )
+        cam = hand @ T_CAM
+        pts_w = pts_cam @ cam[:3, :3].T + cam[:3, 3]
+
+        k1, k2 = jax.random.split(key)
+        pc = accumulate_points(
+            state.pc, k1, pts_w, pts_valid, state.env_step, p.pt_accumulate_ratio
+        )
+        point_state, n_pts = build_point_state(
+            pc, k2, se3_inverse(hand), p.uniform_num_pts
+        )
+
+        goal_rel = se3_inverse(hand) @ self._goal_world(state)
+        obs = Observation(
+            point_state=point_state,
+            num_points=n_pts,
+            joint_pos=state.phys.arm.q,
+            ef_pose=hand,
+            goal_pose=pack_pose_rot_first(goal_rel),
+        )
+        return state.replace(pc=pc), obs
+
+    # ------------------------------------------------------------------
+    def reset(self, key, obj_idx=None) -> Tuple[EnvState, Observation]:
+        """Scene + arm randomization (reference: env/panda_scene.py:995-1035,
+        777-827)."""
+        p = self.p
+        ks = jax.random.split(key, 8)
+        if obj_idx is None:
+            obj_idx = jax.random.randint(ks[0], (), 0, self.lib.num_objects)
+        obj_idx = jnp.asarray(obj_idx, jnp.int32)
+
+        # object upright at a random tabletop pose
+        x = jax.random.uniform(ks[1], (), minval=p.spawn_x[0], maxval=p.spawn_x[1])
+        y = jax.random.uniform(ks[2], (), minval=p.spawn_y[0], maxval=p.spawn_y[1])
+        yaw = jax.random.uniform(ks[3], (), minval=-jnp.pi, maxval=jnp.pi)
+        quat = jnp.array([jnp.cos(yaw / 2), 0.0, 0.0, jnp.sin(yaw / 2)])
+        pos = jnp.stack([x, y, self.lib.rest_height[obj_idx] + 2e-3])
+        obj = BodyState(pos=pos, quat=quat, linvel=jnp.zeros(3), angvel=jnp.zeros(3))
+
+        # arm init: spherical sample around the target, hand z at target
+        theta = jax.random.uniform(ks[4], (), minval=0.0, maxval=2 * jnp.pi / 3)
+        phi = jax.random.uniform(ks[5], (), minval=jnp.pi / 2, maxval=3 * jnp.pi / 2)
+        r = jax.random.uniform(ks[6], (), minval=p.init_near, maxval=p.init_far)
+        offset = r * jnp.stack(
+            [jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)]
+        )
+        trans = pos + offset + jax.random.uniform(ks[7], (3,), minval=-0.03, maxval=0.03)
+        trans = jnp.stack(
+            [
+                jnp.clip(trans[0], 0.0, 0.5),
+                jnp.clip(trans[1], -0.3, 0.3),
+                jnp.clip(trans[2], 0.2, 0.6),
+            ]
+        )
+        z_axis = pos - trans
+        z_axis = z_axis / jnp.maximum(jnp.linalg.norm(z_axis), 1e-6)
+        up = jnp.array([0.0, 0.0, -1.0])
+        x_axis = jnp.cross(up, z_axis)
+        x_norm = jnp.linalg.norm(x_axis)
+        x_axis = jnp.where(x_norm > 1e-3, x_axis / jnp.maximum(x_norm, 1e-6),
+                           jnp.array([1.0, 0.0, 0.0]))
+        y_axis = jnp.cross(z_axis, x_axis)
+        rot = jnp.stack([x_axis, y_axis, z_axis], axis=-1)
+        q_init, ik_ok = ik_from_seeds(trans, rot)
+        q_init = jnp.where(ik_ok, q_init, DEFAULT_JOINTS)
+
+        q = jnp.concatenate([q_init, jnp.array([0.04, 0.04])])
+        phys = PhysicsState(
+            arm=ArmState(q=q, qd=jnp.zeros(7), q_target=q),
+            obj=obj,
+            contact_force=jnp.asarray(0.0),
+            gripper_contact=jnp.asarray(False),
+        )
+        # settle
+        phys = physics_step(
+            p.physics, phys, self.lib.spheres[obj_idx], self.lib.mass[obj_idx],
+            self.lib.inertia[obj_idx], self.base_pose, substeps=p.settle_substeps,
+        )
+
+        state = EnvState(
+            phys=phys,
+            pc=create_pc_state(p.pc_capacity),
+            obj_idx=obj_idx,
+            env_step=jnp.asarray(0, jnp.int32),
+            init_obj_z=phys.obj.pos[2],
+            goal_obj=jnp.eye(4),
+            collided=jnp.asarray(False),
+            collided_before=jnp.asarray(False),
+            done=jnp.asarray(False),
+            valid_scene=jnp.asarray(True),
+        )
+        state = self._update_goal(state)
+
+        obs_key = jax.random.fold_in(key, 17)
+        state, obs = self._observe(state, obs_key)
+
+        # scene validity (reference: core/utils.py:132-149): tcp distance
+        # in range, enough target pixels, IK solvable
+        hand = self._hand(state)
+        tcp = hand[:3, 3] + hand[:3, :3] @ jnp.array([0.0, 0.0, 0.13])
+        dist = jnp.linalg.norm(phys.obj.pos - tcp)
+        valid = (
+            ik_ok
+            & (dist > 0.15)
+            & (dist < 0.6)
+            & (obs.num_points > 50)
+        )
+        return state.replace(valid_scene=valid), obs
+
+    # ------------------------------------------------------------------
+    def _update_goal(self, state: EnvState) -> EnvState:
+        """Re-query the nearest reachable grasp unless a collision froze it
+        (reference: env/panda_scene.py:1280-1286)."""
+        hand = self._hand(state)
+        obj_pose = self._obj_pose(state.phys.obj)
+        goal_w, _, found = nearest_grasp_goal(
+            hand, obj_pose, self.lib.grasps[state.obj_idx],
+            self.lib.grasp_valid[state.obj_idx],
+        )
+        goal_obj = se3_inverse(obj_pose) @ goal_w
+        keep_old = state.collided_before | ~found
+        goal_obj = jnp.where(keep_old, state.goal_obj, goal_obj)
+        return state.replace(goal_obj=goal_obj)
+
+    # ------------------------------------------------------------------
+    def _apply_action(self, state: EnvState, action):
+        """Task-space delta -> IK -> servo targets
+        (reference: env/panda_scene.py:740-775)."""
+        p = self.p
+        high = jnp.asarray(TASK6D_HIGH)
+        action = jnp.clip(action, -high, high)
+        hand = self._hand(state)
+        target = hand @ unpack_action(action)
+        q_arm, _, _ = dls_ik(
+            state.phys.arm.q[:7], target[:3, 3], target[:3, :3],
+            iters=p.step_ik_iters,
+        )
+        q_target = jnp.concatenate([q_arm, jnp.array([0.04, 0.04])])
+        return state.replace(
+            phys=state.phys.replace(arm=state.phys.arm.replace(q_target=q_target))
+        )
+
+    def _physics(self, state: EnvState, substeps=None) -> EnvState:
+        p = self.p
+        phys = physics_step(
+            p.physics, state.phys, self.lib.spheres[state.obj_idx],
+            self.lib.mass[state.obj_idx], self.lib.inertia[state.obj_idx],
+            self.base_pose, substeps=substeps,
+        )
+        collided = phys.gripper_contact
+        return state.replace(
+            phys=phys,
+            collided=collided,
+            collided_before=state.collided_before | collided,
+        )
+
+    def _termination(self, state: EnvState, depth_img):
+        """Depth heuristic + max steps + fallen target
+        (reference: env/panda_scene.py:496-521)."""
+        p = self.p
+        h, w = p.camera.height, p.camera.width
+        d = jnp.where(depth_img > 0, depth_img, 10.0)
+        roi = d[int(38.0 * h / 64):, int(24.0 * w / 64): int(48.0 * w / 64)]
+        depth_h = jnp.sum(roi < 0.045) > 10
+        depth_h = depth_h & jnp.asarray(p.termination_heuristics)
+        fallen = (state.phys.obj.pos[2] - state.init_obj_z) < -p.fall_height
+        timeout = state.env_step >= p.max_steps
+        return depth_h | fallen | timeout
+
+    # ------------------------------------------------------------------
+    def step(self, state: EnvState, action, key):
+        """One policy step. Returns (state, obs, reward, done, info)."""
+        state = self._apply_action(state, action)
+        state = self._physics(state)
+        state = self._update_goal(state)
+
+        k_obs = jax.random.fold_in(key, 1)
+        state, obs = self._observe(state, k_obs)
+
+        # depth image for the termination heuristic (target-masked)
+        hand = self._hand(state)
+        obj_pose = self._obj_pose(state.phys.obj)
+        surf_w = (
+            self.lib.surface_points[state.obj_idx] @ obj_pose[:3, :3].T
+            + obj_pose[:3, 3]
+        )
+        depth = render_depth_points(
+            self.p.camera, self._camera_pose_inv(hand), surf_w
+        )
+        done = self._termination(state, depth)
+        state = state.replace(
+            env_step=state.env_step + 1,
+            done=state.done | done,
+        )
+        reward = jnp.asarray(0.0)  # lift reward paid at retract
+        info = {
+            "collided": state.collided,
+            "goal_dist": jnp.linalg.norm(obs.goal_pose[4:7]),
+            "point_num": obs.num_points,
+            "obj_z": state.phys.obj.pos[2],
+        }
+        return state, obs, reward, state.done, info
+
+    # ------------------------------------------------------------------
+    def retract(self, state: EnvState, key):
+        """Close fingers, lift 10 x 3 cm, score the lift
+        (reference: env/panda_scene.py:455-494)."""
+        p = self.p
+
+        # close fingers
+        close_t = state.phys.arm.q_target.at[7:9].set(0.0)
+        state = state.replace(
+            phys=state.phys.replace(arm=state.phys.arm.replace(q_target=close_t))
+        )
+        state = self._physics(state, substeps=300)
+
+        def lift_body(s, _):
+            hand = self._hand(s)
+            target_pos = hand[:3, 3] + jnp.array([0.0, 0.0, p.retract_step_dz])
+            q_arm, _, _ = dls_ik(
+                s.phys.arm.q[:7], target_pos, hand[:3, :3], iters=p.step_ik_iters,
+            )
+            q_t = jnp.concatenate([q_arm, jnp.zeros(2)])
+            s = s.replace(
+                phys=s.phys.replace(arm=s.phys.arm.replace(q_target=q_t))
+            )
+            s = self._physics(s)
+            return s, None
+
+        state, _ = jax.lax.scan(
+            lift_body, state, None, length=p.retract_lift_steps
+        )
+        lifted = (state.phys.obj.pos[2] - state.init_obj_z) > p.lift_height
+        reward = lifted.astype(jnp.float32)
+        return state, reward
+
+    # ------------------------------------------------------------------
+    def expert_action(self, state: EnvState):
+        """Servo-expert action toward the current goal."""
+        return servo_expert_action(self._hand(state), self._goal_world(state))
+
+    def expert_steps(self, state: EnvState):
+        rel = se3_inverse(self._hand(state)) @ self._goal_world(state)
+        return expert_plan_length(rel, self.p.max_steps)

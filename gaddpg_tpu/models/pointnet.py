@@ -1,0 +1,156 @@
+"""PointNet++ set-abstraction encoder in Flax (channels-last, MXU-friendly).
+
+Architecture contract matches the reference `base_network`
+(reference: core/networks.py:65-92) at model_scale=1:
+
+    SA1: npoint=32, radius=0.02, nsample=64,  mlp (in+3) ->  64 ->  64 -> 128
+    SA2: npoint=32, radius=0.04, nsample=128, mlp (128+3)-> 128 -> 128 -> 256
+    SA3: group-all,                mlp (256+3)-> 256 -> 256 -> 512
+    FC:  512 -> 1024 -> 512 (BatchNorm + ReLU after each)
+
+Layout: we keep points channels-last so every "1x1 conv" is a Dense on
+the trailing axis -> a single large matmul per layer on the MXU, instead
+of the reference's NCHW Conv2d+CUDA-gather pipeline.
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+import jax
+
+from gaddpg_tpu.ops.sampling import (
+    furthest_point_sampling,
+    ball_query,
+    group_points,
+)
+
+
+class SetAbstraction(nn.Module):
+    """One PointNet++ SA level: sample centers, group, shared MLP, max-pool."""
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+    group_all: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        """xyz (B, N, 3); feats (B, N, C) -> (B, S, 3), (B, S, mlp[-1])."""
+        if self.group_all:
+            grouped = jnp.concatenate([xyz, feats], axis=-1)[:, None]  # (B,1,N,3+C)
+            new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+        else:
+            centers = jax.vmap(lambda p: furthest_point_sampling(p, self.npoint))(xyz)
+            group_idx = jax.vmap(
+                lambda c, p: ball_query(p[c], p, self.radius, self.nsample)
+            )(centers, xyz)
+            new_xyz, grouped = jax.vmap(group_points)(xyz, feats, centers, group_idx)
+
+        h = grouped
+        for ch in self.mlp:
+            h = nn.Dense(ch, kernel_init=nn.initializers.kaiming_normal())(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = nn.relu(h)
+        return new_xyz, jnp.max(h, axis=-2)  # max over group members
+
+
+class PointNetEncoder(nn.Module):
+    """Full trunk: 3 SA levels + BN MLP head -> 512-d feature."""
+
+    in_channels: int = 4
+    nclusters: int = 32
+    radius: float = 0.02
+    scale: int = 1
+
+    @nn.compact
+    def __call__(self, pc, train: bool = True):
+        """pc (B, N, C): columns 0:3 xyz, rest extra channels."""
+        s = self.scale
+        xyz = pc[..., :3]
+        feats = pc
+        xyz, feats = SetAbstraction(
+            self.nclusters, self.radius, 64, (64 * s, 64 * s, 128 * s)
+        )(xyz, feats, train)
+        xyz, feats = SetAbstraction(32, 0.04, 128, (128 * s, 128 * s, 256 * s))(
+            xyz, feats, train
+        )
+        _, feats = SetAbstraction(0, 0.0, 0, (256 * s, 256 * s, 512 * s), group_all=True)(
+            xyz, feats, train
+        )
+        h = feats[:, 0]  # (B, 512s)
+        h = nn.Dense(1024 * s)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.relu(h)
+        h = nn.Dense(512 * s)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.relu(h)
+        return h
+
+
+class PointNetFeature(nn.Module):
+    """Policy + value encoders with the reference's input slicing.
+
+    Input point state is (B, 4, 1030): channel 3 flags the 6 hand anchor
+    points; the first 6 *points* are the hand anchors
+    (reference: env/panda_scene.py:1195-1200). Like the reference
+    (reference: core/networks.py:232-248):
+    - both encoders drop the 6 hand anchor points,
+    - the policy encoder sees 4 channels (xyz + flag),
+    - the value encoder sees 4 + action channels (10 when the 6-d action
+      is tiled channel-wise).
+    """
+
+    policy_in: int = 4
+    value_in: int = 10
+    nclusters: int = 32
+    radius: float = 0.02
+    scale: int = 1
+    num_hand_points: int = 6
+
+    def setup(self):
+        self.encoder = PointNetEncoder(
+            self.policy_in, self.nclusters, self.radius, self.scale, name="encoder"
+        )
+        self.value_encoder = PointNetEncoder(
+            self.value_in, self.nclusters, self.radius, self.scale, name="value_encoder"
+        )
+
+    def _prep(self, point_state, channels):
+        # (B, C, N) -> drop hand anchor points -> (B, N', C_keep)
+        pc = point_state[:, :channels, self.num_hand_points:]
+        return jnp.swapaxes(pc, -1, -2)
+
+    def __call__(self, point_state, action=None, value: bool = False, train: bool = True):
+        """point_state (B, 4, 1030); action (B, 6) for the value path."""
+        if value:
+            pc = point_state
+            if action is not None:
+                tiled = jnp.broadcast_to(
+                    action[:, :, None], action.shape + (point_state.shape[-1],)
+                )
+                pc = jnp.concatenate([pc, tiled], axis=1)
+            return self.value_encoder(self._prep(pc, self.value_in), train)
+        return self.encoder(self._prep(point_state, self.policy_in), train)
+
+
+class GoalFeature(nn.Module):
+    """Grasp-pose prediction encoder (reference: core/networks.py:150-178).
+
+    Consumes an object cloud (B, N, 3) and emits a normalized
+    quaternion+translation grasp and a confidence.
+    """
+
+    nclusters: int = 128
+    radius: float = 0.02
+    scale: int = 1
+
+    @nn.compact
+    def __call__(self, pc, train: bool = True):
+        z = PointNetEncoder(3, self.nclusters, self.radius, self.scale)(pc, train)
+        q = nn.Dense(4)(z)
+        t = nn.Dense(3)(z)
+        conf = nn.Dense(1)(z)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+        return jnp.concatenate([q, t], axis=-1), jax.nn.sigmoid(conf[..., 0])

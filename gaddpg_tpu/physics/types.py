@@ -1,0 +1,69 @@
+"""Physics state pytrees and parameters."""
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsParams:
+    """Static simulation constants (hashable; closed over by jit)."""
+
+    dt: float = 1e-3                 # substep (reference: env/panda_scene.py:152)
+    substeps: int = 150              # per policy step (reference: :358)
+    gravity: float = -9.81
+
+    # compliant contact
+    contact_stiffness: float = 5000.0   # N/m
+    contact_damping_ratio: float = 1.0
+    friction_mu: float = 0.8
+    friction_vel_eps: float = 2e-3      # Coulomb regularization (m/s)
+    friction_iters: int = 4             # Jacobi friction passes per substep
+
+    # object free-body damping (matches PyBullet defaults feel)
+    linear_damping: float = 0.04
+    angular_damping: float = 0.04
+
+    # arm servo
+    arm_vel_limit: float = 2.2          # rad/s per joint
+    arm_acc_limit: float = 30.0         # rad/s^2 (smooth jerk-free tracking)
+    finger_vel_limit: float = 0.15      # m/s  (URDF finger limit 0.2)
+    finger_force: float = 25.0          # max squeeze force (N, URDF effort 20)
+    finger_kp: float = 6000.0           # servo spring (N/m)
+    finger_damping: float = 150.0       # servo damping (N s/m)
+
+    # gripper collision proxies, hand frame
+    palm_center: tuple = (0.0, 0.0, 0.033)
+    palm_half_extents: tuple = (0.031, 0.10, 0.028)
+    finger_half_extents: tuple = (0.011, 0.009, 0.027)
+    finger_z_center: float = 0.0584 + 0.027  # pad center along hand z
+
+    table_z: float = 0.0                 # table top plane in world frame
+
+
+@struct.dataclass
+class BodyState:
+    """Free rigid body (the target object)."""
+
+    pos: jnp.ndarray      # (3,)
+    quat: jnp.ndarray     # (4,) wxyz
+    linvel: jnp.ndarray   # (3,)
+    angvel: jnp.ndarray   # (3,) world frame
+
+
+@struct.dataclass
+class ArmState:
+    """Panda joints: 7 arm + 2 fingers, position-servo targets."""
+
+    q: jnp.ndarray          # (9,)
+    qd: jnp.ndarray         # (7,) arm joint velocities (accel-limited servo)
+    q_target: jnp.ndarray   # (9,)
+
+
+@struct.dataclass
+class PhysicsState:
+    arm: ArmState
+    obj: BodyState
+    contact_force: jnp.ndarray   # scalar: max contact force magnitude last substep
+    gripper_contact: jnp.ndarray  # bool: any object<->gripper contact this step

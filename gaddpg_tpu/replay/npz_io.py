@@ -1,0 +1,70 @@
+"""Reference-format .npz import/export for offline datasets.
+
+The reference trains offline from a single `data_50k.npz` holding the
+whole buffer attribute dump (reference: core/replay_memory.py:274-356).
+We read/write the same keys so its datasets can be replayed here and
+vice versa. Host-side numpy only -- called outside jit.
+"""
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from gaddpg_tpu.replay.buffer import ReplayBuffer, create_buffer
+
+_SAVE_KEYS = (
+    "action", "point_state", "reward", "terminal", "timestep", "returns",
+    "state_pose", "collide", "grasp", "perturb_flags", "goal",
+    "expert_flags", "expert_action", "target_idx", "episode_map",
+)
+
+
+def save_npz(buf: ReplayBuffer, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save = {k: np.asarray(getattr(buf, k)) for k in _SAVE_KEYS}
+    save["is_full"] = bool(buf.is_full)
+    save["cur_idx"] = int(buf.cur_idx)
+    save["total_env_step"] = int(buf.total_env_step)
+    np.savez(path, **save)
+
+
+def load_npz(path: str, buffer_size: Optional[int] = None,
+             num_points: int = 1030) -> ReplayBuffer:
+    """Load a reference-format buffer dump into a ReplayBuffer.
+
+    Recomputes nothing: the reference re-derives returns on load
+    (reference: :321), but exported files already carry consistent
+    returns; callers can re-backfill if mixing gammas.
+    """
+    data = np.load(path, allow_pickle=True)
+    n = int(np.amax(data["episode_map"])) + 1 if "episode_map" in data else len(data["reward"])
+    size = buffer_size or max(n, 1)
+    buf = create_buffer(size, num_points=num_points)
+
+    upd = {}
+    for k in _SAVE_KEYS:
+        if k not in data:
+            continue
+        src = np.asarray(data[k])
+        if src.ndim == 0:
+            continue
+        m = min(size, src.shape[0])
+        tgt = np.asarray(getattr(buf, k)).copy()
+        if k == "point_state" and src.shape[-1] != tgt.shape[-1]:
+            p = min(src.shape[-1], tgt.shape[-1])
+            tgt[:m, :, :p] = src[:m, :, :p]
+        elif k in ("action", "expert_action") and src.ndim == 3:
+            tgt[:m] = src[:m, 0]  # reference stores (N, 1, 6)
+        else:
+            tgt[:m] = src[:m]
+        upd[k] = jnp.asarray(tgt, dtype=getattr(buf, k).dtype)
+
+    cur = int(data["cur_idx"]) if "cur_idx" in data else n
+    return buf.replace(
+        **upd,
+        cur_idx=jnp.asarray(min(cur, size) % max(size, 1), jnp.int32),
+        is_full=jnp.asarray(bool(data.get("is_full", False)) or cur >= size),
+        total_env_step=jnp.asarray(int(data.get("total_env_step", n)), jnp.int32),
+    )

@@ -1,0 +1,103 @@
+"""Batched damped-least-squares inverse kinematics.
+
+Replaces PyBullet's `calculateInverseKinematics`
+(reference: env/panda_scene.py:769) and the PyKDL-seeded sampler
+(reference: env/panda_scene.py:814-816). Fixed iteration count + masked
+convergence keeps shapes static for XLA; `ik_from_seeds` vmaps the solve
+over the 14 anchor seeds and picks the best converged branch.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gaddpg_tpu.robot.panda import (
+    ANCHOR_SEEDS,
+    JOINT_LOWER,
+    JOINT_UPPER,
+    fk_hand,
+)
+
+
+def _pose_error(q, target_pos, target_rot):
+    """6-d task error of hand frame vs target (position, orientation)."""
+    T = fk_hand(q)
+    perr = target_pos - T[:3, 3]
+    # Orientation error as rotation vector of R_err = R_tgt R_cur^T.
+    r_err = target_rot @ T[:3, :3].T
+    # rotvec via skew part (accurate for the small errors DLS converges through)
+    w = jnp.stack(
+        [
+            r_err[2, 1] - r_err[1, 2],
+            r_err[0, 2] - r_err[2, 0],
+            r_err[1, 0] - r_err[0, 1],
+        ]
+    )
+    cos_t = jnp.clip((jnp.trace(r_err) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    sin_t = jnp.sin(theta)
+    scale = jnp.where(sin_t > 1e-6, theta / (2.0 * jnp.maximum(sin_t, 1e-6)), 0.5)
+    return jnp.concatenate([perr, scale * w])
+
+
+@partial(jax.jit, static_argnames=("iters", "pos_only"))
+def dls_ik(
+    seed_q,
+    target_pos,
+    target_rot,
+    iters: int = 30,
+    damping: float = 0.05,
+    pos_only: bool = False,
+):
+    """Damped-least-squares IK from one seed.
+
+    Returns (q, pos_err, rot_err). All shapes static; runs as a
+    `lax.fori_loop` of (6x7) linear solves -- trivially vmappable.
+    """
+
+    def err_fn(q):
+        e = _pose_error(q, target_pos, target_rot)
+        if pos_only:
+            e = e.at[3:].set(0.0)
+        return e
+
+    def body(_, q):
+        e = err_fn(q)
+        # task jacobian J = d(fk)/dq = -d(err)/dq, since err = target - fk
+        J = -jax.jacfwd(lambda qq: _pose_error(qq, target_pos, target_rot))(q)
+        if pos_only:
+            J = J.at[3:].set(0.0)
+        A = J @ J.T + (damping**2) * jnp.eye(6)
+        dq = J.T @ jnp.linalg.solve(A, e)
+        q = jnp.clip(q + dq, JOINT_LOWER, JOINT_UPPER)
+        return q
+
+    q = jax.lax.fori_loop(0, iters, body, seed_q)
+    e = err_fn(q)
+    return q, jnp.linalg.norm(e[:3]), jnp.linalg.norm(e[3:])
+
+
+@partial(jax.jit, static_argnames=("iters", "pos_only"))
+def ik_from_seeds(
+    target_pos,
+    target_rot,
+    seeds=ANCHOR_SEEDS,
+    iters: int = 30,
+    pos_tol: float = 5e-3,
+    rot_tol: float = 5e-2,
+    pos_only: bool = False,
+):
+    """Multi-start IK over anchor seeds; returns (q, success).
+
+    Mirrors the reference's seeded-restart strategy
+    (reference: env/panda_scene.py:809-818) but evaluates every seed in
+    parallel and argmin-selects, instead of sequential trial loops.
+    """
+    qs, perr, rerr = jax.vmap(
+        lambda s: dls_ik(s, target_pos, target_rot, iters=iters, pos_only=pos_only)
+    )(seeds)
+    score = perr + rerr
+    best = jnp.argmin(score)
+    ok = (perr[best] < pos_tol) & ((rerr[best] < rot_tol) | pos_only)
+    return qs[best], ok
