@@ -1,0 +1,58 @@
+"""Mesh construction + sharding placement for data-parallel training."""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
+    """1-D mesh over the first n devices (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_leading_axis(mesh: Mesh, tree, axis_name: str = "dp"):
+    """Place a pytree with its leading axis split over the mesh."""
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree onto every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_sharded_update(update_fn, mesh: Mesh, axis_name: str = "dp"):
+    """Wrap an agent update for data-parallel execution.
+
+    Params/opt state replicate; batch shards on its leading axis; GSPMD
+    derives the gradient all-reduce over ICI -- no hand-written
+    collectives needed at this model scale.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def batch_sharding(batch):
+        return jax.tree_util.tree_map(
+            lambda x: NamedSharding(
+                mesh, P(axis_name, *([None] * (max(x.ndim, 1) - 1)))
+            ) if getattr(x, "ndim", 0) else repl,
+            batch,
+        )
+
+    def run(state, batch, key):
+        state = replicate(mesh, state)
+        batch = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), batch, batch_sharding(batch)
+        )
+        key = jax.device_put(key, repl)
+        return jax.jit(update_fn, donate_argnums=(0,))(state, batch, key)
+
+    return run

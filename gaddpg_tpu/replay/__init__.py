@@ -13,5 +13,6 @@ from gaddpg_tpu.replay.buffer import (
     add_episode,
     add_episodes,
     sample,
+    upper_idx,
 )
 from gaddpg_tpu.replay.npz_io import save_npz, load_npz

@@ -1,0 +1,216 @@
+"""Vectorized episode rollout: N envs, one episode each, one XLA program.
+
+Functional analogue of `ActorWrapper.rollout`
+(reference: core/train_online.py:207-321):
+
+- a fraction of envs "explore" (roll the policy + noise), the rest roll
+  the servo expert (the reference's explore/expert episode split);
+- explore envs may start with a few expert steps (expert_initial_state)
+  and get DAgger expert-relabel steps; expert envs get DART random
+  perturbation steps flagged perturb (excluded from the critic loss);
+- envs freeze once done; after the scan every env runs the retract
+  macro and the lift reward lands on its last valid transition with the
+  discounted-return backfill done at buffer insert.
+
+All branching is per-env masked selects -- no Python control flow on
+traced values.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaddpg_tpu.agents.ddpg import make_select_action
+from gaddpg_tpu.envs.grasp_env import PandaGraspEnv
+
+
+def _tree_where(pred, a, b):
+    """Select pytrees with a per-env boolean (pred broadcast per leaf)."""
+    def sel(x, y):
+        shape = (pred.shape[0],) + (1,) * (x.ndim - 1)
+        return jnp.where(pred.reshape(shape), x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+class RolloutWorker:
+    """Bundles env + policy selection into jitted rollout programs."""
+
+    def __init__(self, env: PandaGraspEnv, agent_cfg, train_cfg):
+        self.env = env
+        self.cfg = train_cfg
+        self.agent_cfg = agent_cfg
+        self.select_action = make_select_action(agent_cfg)
+        self.rollout = jax.jit(self._rollout)
+        self.evaluate = jax.jit(self._evaluate)
+
+    # ------------------------------------------------------------------
+    def _reset_all(self, key, num_envs):
+        keys = jax.random.split(key, num_envs)
+        return jax.vmap(self.env.reset)(keys)
+
+    # ------------------------------------------------------------------
+    def _rollout(self, agent_state, key, explore_frac, noise_scale):
+        """Returns (episodes (N,T,...), valid (N,T), rewards (N,), stats)."""
+        cfg = self.cfg
+        env = self.env
+        n = cfg.num_envs
+        T = cfg.rollout_horizon
+
+        k_reset, k_flags, k_scan, k_retract = jax.random.split(key, 4)
+        states, obs = self._reset_all(k_reset, n)
+        valid_scene = states.valid_scene
+
+        kf1, kf2 = jax.random.split(k_flags)
+        explore_env = jax.random.uniform(kf1, (n,)) < explore_frac
+        expert_init_steps = jax.random.randint(
+            kf2, (n,), cfg.expert_init_min_step, max(cfg.expert_init_max_step, 1)
+        )
+        use_expert_init = cfg.expert_initial_state and cfg.policy != "BC"
+        plan_len = jax.vmap(env.expert_steps)(states)
+
+        def step_fn(carry, t):
+            states, obs, done, key = carry
+            key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+
+            expert_a = jax.vmap(env.expert_action)(states)
+            remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
+            policy_a, _ = self.select_action(
+                agent_state, obs.point_state, remain, k1, noise_scale, True
+            )
+
+            t_f = t.astype(jnp.float32)
+            dagger = (
+                jnp.asarray(cfg.dagger)
+                & explore_env
+                & (t_f > cfg.dagger_min_step)
+                & (t_f < jnp.minimum(cfg.dagger_max_step, plan_len - 8))
+                & (jax.random.uniform(k2, (n,)) < cfg.dagger_ratio)
+            )
+            dart = (
+                jnp.asarray(cfg.dart)
+                & ~explore_env
+                & (t_f > cfg.dart_min_step)
+                & (t_f < cfg.dart_max_step)
+                & (jax.random.uniform(k3, (n,)) < cfg.dart_ratio)
+            )
+            expert_now = (
+                ~explore_env
+                | (jnp.asarray(use_expert_init) & (t < expert_init_steps))
+                | dagger
+            )
+            action = jnp.where(expert_now[:, None], expert_a, policy_a)
+            # DART perturbation (reference: env/panda_scene.py:1069-1076)
+            perturb_a = jnp.concatenate(
+                [
+                    jax.random.uniform(k4, (n, 3), minval=-0.04, maxval=0.04),
+                    jax.random.uniform(k5, (n, 3), minval=-0.2, maxval=0.2),
+                ],
+                axis=-1,
+            )
+            action = jnp.where(dart[:, None], perturb_a, action)
+
+            step_keys = jax.random.split(key, n)
+            new_states, new_obs, _, new_done, info = jax.vmap(env.step)(
+                states, action, step_keys
+            )
+            # expert episodes end when the plan does
+            new_done = new_done | (~explore_env & (t_f >= plan_len - 1.0))
+
+            # freeze finished envs
+            keep = ~done
+            states = _tree_where(keep, new_states, states)
+            obs_next = _tree_where(keep, new_obs, obs)
+
+            expert_flag = jnp.where(
+                dagger, 2.0, (~explore_env).astype(jnp.float32)
+            )
+            trans = {
+                "point_state": obs.point_state,
+                "action": action,
+                "expert_action": expert_a,
+                "reward": jnp.zeros((n,)),
+                "terminal": jnp.zeros((n,)),
+                "timestep": jnp.full((n,), t_f),
+                "state_pose": obs.ef_pose,
+                "goal": obs.goal_pose,
+                "expert_flags": expert_flag,
+                "perturb_flags": dart.astype(jnp.float32),
+                "collide": info["collided"].astype(jnp.float32),
+                "grasp": jnp.zeros((n,)),
+                "target_idx": states.obj_idx.astype(jnp.float32),
+            }
+            done_out = done | new_done
+            return (states, obs_next, done_out, key), (trans, keep)
+
+        done0 = jnp.zeros((n,), bool)
+        (states, obs, done, _), (episodes, valid) = jax.lax.scan(
+            step_fn, (states, obs, done0, k_scan), jnp.arange(T)
+        )
+        # (T, N, ...) -> (N, T, ...)
+        episodes = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), episodes)
+        valid = jnp.swapaxes(valid, 0, 1)
+        valid = valid & valid_scene[:, None]
+
+        # retract + lift reward on the last valid transition
+        retract_keys = jax.random.split(k_retract, n)
+        _, rewards = jax.vmap(env.retract)(states, retract_keys)
+        n_valid = jnp.sum(valid, axis=1)
+        is_last = jnp.arange(T)[None, :] == (n_valid - 1)[:, None]
+        episodes["reward"] = is_last * rewards[:, None]
+        episodes["terminal"] = is_last.astype(jnp.float32)
+        episodes["grasp"] = is_last.astype(jnp.float32)
+
+        stats = {
+            "success": rewards * valid_scene,
+            "explore_env": explore_env,
+            "valid_scene": valid_scene,
+            "episode_len": n_valid,
+        }
+        return episodes, valid, rewards, stats
+
+    # ------------------------------------------------------------------
+    def _evaluate(self, agent_state, key):
+        """Deterministic policy evaluation episodes (no noise, no expert).
+
+        The analogue of the offline test loop
+        (reference: core/train_test_offline.py:165-303).
+        """
+        cfg = self.cfg
+        env = self.env
+        n = cfg.num_envs
+        T = cfg.rollout_horizon
+
+        k_reset, k_scan, k_retract = jax.random.split(key, 3)
+        states, obs = self._reset_all(k_reset, n)
+        valid_scene = states.valid_scene
+        plan_len = jax.vmap(env.expert_steps)(states)
+
+        def step_fn(carry, t):
+            states, obs, done, key = carry
+            key, k1 = jax.random.split(key)
+            remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
+            action, _ = self.select_action(
+                agent_state, obs.point_state, remain, k1, 0.0, False
+            )
+            step_keys = jax.random.split(key, n)
+            new_states, new_obs, _, new_done, _ = jax.vmap(env.step)(
+                states, action, step_keys
+            )
+            keep = ~done
+            states = _tree_where(keep, new_states, states)
+            obs = _tree_where(keep, new_obs, obs)
+            return (states, obs, done | new_done, key), None
+
+        (states, _, _, _), _ = jax.lax.scan(
+            step_fn, (states, obs, jnp.zeros((n,), bool), k_scan), jnp.arange(T)
+        )
+        retract_keys = jax.random.split(k_retract, n)
+        _, rewards = jax.vmap(env.retract)(states, retract_keys)
+        return {
+            "success": rewards,
+            "valid_scene": valid_scene,
+            "obj_idx": states.obj_idx,
+        }
