@@ -33,7 +33,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     reset = jax.jit(jax.vmap(env.reset))
-    step = jax.jit(jax.vmap(env.step))
+    step = jax.jit(env.step_batched)
 
     keys = jax.random.split(key, NUM_ENVS)
     states, obs = reset(keys)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 GRASP_DEPTH = 0.10          # hand origin -> closing point along +z
 GRIPPER_MAX_WIDTH = 0.078   # usable opening (0.08 minus margin)
 
-NS = 48    # spheres per object (padded)
+NS = 32    # spheres per object (padded; contact cost is linear in NS)
 NP = 1024  # surface points per object (padded; point-splat render density)
 NG = 64    # grasps per object (padded)
 

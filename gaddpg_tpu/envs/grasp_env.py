@@ -37,6 +37,7 @@ from gaddpg_tpu.geometry.se3 import (
     unpack_action,
 )
 from gaddpg_tpu.models.heads import TASK6D_HIGH
+from gaddpg_tpu.physics.fast import fast_physics_step
 from gaddpg_tpu.physics.step import physics_step
 from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
 from gaddpg_tpu.render.camera import CameraParams, render_depth_points, visible_points
@@ -59,7 +60,11 @@ T_CAM = jnp.eye(4).at[0, 3].set(0.036).at[2, 3].set(0.036)
 @dataclasses.dataclass(frozen=True)
 class EnvParams:
     physics: PhysicsParams = PhysicsParams()
-    camera: CameraParams = CameraParams()
+    # 64x64 wrist camera: the point state is resampled to 1024 points
+    # anyway, and the reference's own termination heuristic is calibrated
+    # at 64x64 (reference: core/utils.py:340-343); 4x fewer pixels than
+    # the 112x112 image path.
+    camera: CameraParams = CameraParams(width=64, height=64)
     max_steps: int = 20                  # RL_MAX_STEP
     uniform_num_pts: int = 1024
     pt_accumulate_ratio: float = 0.95
@@ -336,6 +341,91 @@ class PandaGraspEnv:
             "obj_z": state.phys.obj.pos[2],
         }
         return state, obs, reward, state.done, info
+
+    # ------------------------------------------------------------------
+    # Batched hot path: same semantics as step()/retract(), but physics
+    # runs through fast_physics_step on the whole env batch (the vmapped
+    # per-env path spends its time in pathologically small batched ops).
+    # ------------------------------------------------------------------
+    def _physics_batched(self, states: EnvState, substeps=None) -> EnvState:
+        phys = fast_physics_step(
+            self.p.physics, states.phys,
+            self.lib.spheres[states.obj_idx],
+            self.lib.mass[states.obj_idx],
+            self.lib.inertia[states.obj_idx],
+            substeps=substeps,
+        )
+        collided = phys.gripper_contact
+        return states.replace(
+            phys=phys,
+            collided=collided,
+            collided_before=states.collided_before | collided,
+        )
+
+    def step_batched(self, states: EnvState, actions, keys):
+        """Batched step() over (B,) states; keys (B, 2)-shaped PRNG keys."""
+        states = jax.vmap(self._apply_action)(states, actions)
+        states = self._physics_batched(states)
+        states = jax.vmap(self._update_goal)(states)
+
+        obs_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        states, obs = jax.vmap(self._observe)(states, obs_keys)
+
+        def depth_and_done(state):
+            hand = self._hand(state)
+            obj_pose = self._obj_pose(state.phys.obj)
+            surf_w = (
+                self.lib.surface_points[state.obj_idx] @ obj_pose[:3, :3].T
+                + obj_pose[:3, 3]
+            )
+            depth = render_depth_points(
+                self.p.camera, self._camera_pose_inv(hand), surf_w
+            )
+            return self._termination(state, depth)
+
+        done = jax.vmap(depth_and_done)(states)
+        states = states.replace(
+            env_step=states.env_step + 1,
+            done=states.done | done,
+        )
+        reward = jnp.zeros(actions.shape[0])
+        info = {
+            "collided": states.collided,
+            "goal_dist": jnp.linalg.norm(obs.goal_pose[:, 4:7], axis=-1),
+            "point_num": obs.num_points,
+            "obj_z": states.phys.obj.pos[:, 2],
+        }
+        return states, obs, reward, states.done, info
+
+    def retract_batched(self, states: EnvState, keys):
+        """Batched retract(): close fingers, lift, score."""
+        p = self.p
+        close_t = states.phys.arm.q_target.at[:, 7:9].set(0.0)
+        states = states.replace(
+            phys=states.phys.replace(arm=states.phys.arm.replace(q_target=close_t))
+        )
+        states = self._physics_batched(states, substeps=2 * p.physics.substeps)
+
+        def lift_body(s, _):
+            def one(env_state):
+                hand = self._hand(env_state)
+                target_pos = hand[:3, 3] + jnp.array([0.0, 0.0, p.retract_step_dz])
+                q_arm, _, _ = dls_ik(
+                    env_state.phys.arm.q[:7], target_pos, hand[:3, :3],
+                    iters=p.step_ik_iters,
+                )
+                return jnp.concatenate([q_arm, jnp.zeros(2)])
+
+            q_t = jax.vmap(one)(s)
+            s = s.replace(
+                phys=s.phys.replace(arm=s.phys.arm.replace(q_target=q_t))
+            )
+            return self._physics_batched(s), None
+
+        states, _ = jax.lax.scan(lift_body, states, None,
+                                 length=p.retract_lift_steps)
+        lifted = (states.phys.obj.pos[:, 2] - states.init_obj_z) > p.lift_height
+        return states, lifted.astype(jnp.float32)
 
     # ------------------------------------------------------------------
     def retract(self, state: EnvState, key):

@@ -1,0 +1,316 @@
+"""Batched fast-path physics: the whole env batch in one program.
+
+Same contact model as step.py (spring normals + impulse-capped damping,
+iterated cone-budgeted friction, penetration-limited fingers,
+accel-limited arm servo) restructured for throughput:
+
+- operates on the full (B, ...) env batch directly -- no vmap of
+  per-env programs;
+- ZERO matmul-class ops in the loop: every rotation is quaternion
+  component math (batched 4x4/3x3 matmuls are pathologically slow on
+  the target device and no faster than elementwise chains on real TPU
+  at these sizes);
+- the arm joint trajectory and all hand poses/velocities for the
+  `substeps` horizon are precomputed OUTSIDE the object scan (the arm
+  is position-servoed and feels no reaction forces, so its trajectory
+  is object-independent);
+- the three gripper boxes (2 finger pads + palm) are evaluated as one
+  stacked (B, 3, NS) contact batch.
+
+Validation contract: behavior must match the reference-path
+(minimal_rollout seeds, settle/lift tests), not op-for-op equality.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaddpg_tpu.geometry.rotations import quat_mul, quat_rotate, quat_normalize
+from gaddpg_tpu.physics.types import PhysicsParams, PhysicsState
+from gaddpg_tpu.robot.panda import _ORIGINS, _T_HAND
+
+# ---------------------------------------------------------------------------
+# constant chain as quaternions (host-side)
+# ---------------------------------------------------------------------------
+
+def _mat_to_quat_np(m):
+    from scipy.spatial.transform import Rotation as R
+
+    q = R.from_matrix(m).as_quat()
+    return np.roll(q, 1, axis=-1)
+
+
+_OQ = jnp.asarray(_mat_to_quat_np(_ORIGINS[:, :3, :3]))   # (7, 4)
+_OT = jnp.asarray(_ORIGINS[:, :3, 3])                      # (7, 3)
+_HQ = jnp.asarray(_mat_to_quat_np(_T_HAND[:3, :3]))        # (4,)
+_HT = jnp.asarray(_T_HAND[:3, 3])                          # (3,)
+
+
+def fk_hand_batched(q):
+    """Batched hand pose from arm joints q (..., 7) -> (pos, quat)."""
+    batch = q.shape[:-1]
+    pos = jnp.zeros(batch + (3,), q.dtype)
+    rot = jnp.broadcast_to(
+        jnp.array([1.0, 0, 0, 0], q.dtype), batch + (4,)
+    )
+    for i in range(7):
+        pos = pos + quat_rotate(rot, jnp.broadcast_to(_OT[i], batch + (3,)))
+        rot = quat_mul(rot, jnp.broadcast_to(_OQ[i], batch + (4,)))
+        half = q[..., i] * 0.5
+        zq = jnp.stack(
+            [jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half),
+             jnp.sin(half)], axis=-1
+        )
+        rot = quat_mul(rot, zq)
+    pos = pos + quat_rotate(rot, jnp.broadcast_to(_HT, batch + (3,)))
+    rot = quat_mul(rot, jnp.broadcast_to(_HQ, batch + (4,)))
+    return pos, rot
+
+
+def arm_trajectory(p: PhysicsParams, q0, qd0, q_tgt, n: int):
+    """Trapezoidal servo rollout: (n, B, 7) joint positions + final qd."""
+
+    def body(carry, _):
+        q, qd = carry
+        err = q_tgt - q
+        v_brake = jnp.sqrt(2.0 * p.arm_acc_limit * jnp.abs(err))
+        v_des = jnp.sign(err) * jnp.minimum(v_brake, p.arm_vel_limit)
+        qd = jnp.clip(v_des, qd - p.arm_acc_limit * p.dt,
+                      qd + p.arm_acc_limit * p.dt)
+        q = q + qd * p.dt
+        return (q, qd), q
+
+    (qn, qdn), q_traj = jax.lax.scan(body, (q0, qd0), None, length=n)
+    return q_traj, qdn
+
+
+# ---------------------------------------------------------------------------
+# the object-dynamics scan
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("p", "substeps"))
+def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
+                      mass, inertia, substeps=None):
+    """Advance a (B,)-batched PhysicsState by `substeps` 1-ms ticks.
+
+    sphere_sets (B, NS, 4); mass (B,); inertia (B, 3).
+    Matches physics_step semantics (base at the world origin).
+    """
+    n = substeps if substeps is not None else p.substeps
+    B = mass.shape[0]
+    arm = state.arm
+
+    # ---- hoisted arm trajectory + hand poses/velocities ----
+    q_traj, qd_final = arm_trajectory(
+        p, arm.q[:, :7], arm.qd, arm.q_target[:, :7], n
+    )
+    q_all = jnp.concatenate([arm.q[None, :, :7], q_traj], axis=0)  # (n+1, B, 7)
+    hand_pos_all, hand_quat_all = fk_hand_batched(q_all)
+    hand_pos = hand_pos_all[1:]
+    hand_quat = hand_quat_all[1:]
+    hand_lin = (hand_pos_all[1:] - hand_pos_all[:-1]) / p.dt
+    # angular velocity from quaternion increments: w = 2 (dq x q^-1).vec
+    dq = hand_quat_all[1:] - hand_quat_all[:-1]
+    qc = hand_quat_all[:-1] * jnp.array([1.0, -1, -1, -1])
+    wq = quat_mul(dq, qc) * (2.0 / p.dt)
+    hand_ang = wq[..., 1:]
+
+    sph_local = sphere_sets[..., :3]          # (B, NS, 3)
+    radii = sphere_sets[..., 3]               # (B, NS)
+    ns = radii.shape[1]
+    fhe = jnp.asarray(p.finger_half_extents)
+    phe = jnp.asarray(p.palm_half_extents)
+    half_ext = jnp.stack([fhe, fhe, phe])     # (3 boxes, 3)
+    mass_c = mass[:, None]
+    inv_inertia = 1.0 / inertia               # (B, 3)
+    # loop-invariant constants (hoisted: every op inside the scan body
+    # re-executes per substep)
+    fn_clamp = jnp.concatenate(
+        [
+            jnp.full((B, ns), jnp.inf),
+            jnp.full((B, 2 * ns), 2.0 * p.finger_force),
+            jnp.full((B, ns), jnp.inf),
+        ],
+        axis=1,
+    )
+    off_p_const = jnp.broadcast_to(jnp.asarray(p.palm_center), (B, 3))
+
+    def substep(carry, xs):
+        pos, quat, linvel, angvel, q_f, grip_any = carry
+        h_pos, h_quat, h_lin, h_ang = xs       # (B,3), (B,4), (B,3), (B,3)
+
+        # ---- sphere world positions / velocities ----
+        centers = pos[:, None, :] + quat_rotate(quat[:, None, :], sph_local)
+        r_off = centers - pos[:, None, :]
+        vels = linvel[:, None, :] + jnp.cross(angvel[:, None, :], r_off)
+
+        # ---- gripper boxes: stacked (B, 3, NS) ----
+        # box offsets in hand frame
+        off_l = jnp.stack(
+            [jnp.zeros((B,)), q_f[:, 0] + fhe[1], jnp.full((B,), p.finger_z_center)],
+            axis=-1,
+        )
+        off_r = jnp.stack(
+            [jnp.zeros((B,)), -(q_f[:, 1] + fhe[1]), jnp.full((B,), p.finger_z_center)],
+            axis=-1,
+        )
+        box_off = jnp.stack([off_l, off_r, off_p_const], axis=1)  # (B,3,3) hand frame
+        box_t = h_pos[:, None, :] + quat_rotate(h_quat[:, None, :], box_off)
+
+        # one rotate of the sphere set into the hand frame; the three
+        # boxes are axis-aligned there, so their SDFs need no further
+        # rotation (saves two (B,3,NS,3)-sized quaternion rotates)
+        hq_c = h_quat * jnp.array([1.0, -1, -1, -1])
+        c_hand = quat_rotate(hq_c[:, None, :], centers - h_pos[:, None, :])
+        p_loc = c_hand[:, None, :, :] - box_off[:, :, None, :]   # (B,3,NS,3)
+
+        qd_box = jnp.abs(p_loc) - half_ext[None, :, None, :]     # (B,3,NS,3)
+        outside = jnp.maximum(qd_box, 0.0)
+        d_out = jnp.linalg.norm(outside, axis=-1)
+        d_in = jnp.minimum(jnp.max(qd_box, axis=-1), 0.0)
+        sdf = d_out + d_in
+        n_out = outside * jnp.sign(p_loc)
+        n_out = n_out / jnp.maximum(
+            jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9
+        )
+        in_axis = jnp.argmax(qd_box, axis=-1)
+        n_in = (in_axis[..., None] == jnp.arange(3)) * jnp.sign(p_loc)
+        n_loc = jnp.where((d_out > 0)[..., None], n_out, n_in)
+        n_box = quat_rotate(h_quat[:, None, None, :], n_loc)     # world
+        pen_box = radii[:, None, :] - sdf                        # (B,3,NS)
+
+        # box surface velocity at contacts
+        cpts_box = centers[:, None, :, :] - n_box * radii[:, None, :, None]
+        v_box = h_lin[:, None, None, :] + jnp.cross(
+            h_ang[:, None, None, :], cpts_box - box_t[:, :, None, :]
+        )
+
+        # ---- table plane ----
+        pen_tab = radii - (centers[..., 2] - p.table_z)          # (B,NS)
+        n_tab = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centers.shape)
+        cpts_tab = centers - n_tab * radii[..., None]
+
+        # ---- flatten contacts: (B, C=4*NS) ----
+        pen = jnp.concatenate([pen_tab, pen_box.reshape(B, 3 * ns)], axis=1)
+        nrm = jnp.concatenate(
+            [n_tab, n_box.reshape(B, 3 * ns, 3)], axis=1
+        )
+        cpts = jnp.concatenate([cpts_tab, cpts_box.reshape(B, 3 * ns, 3)], axis=1)
+        v_surf = jnp.concatenate(
+            [jnp.zeros_like(cpts_tab), v_box.reshape(B, 3 * ns, 3)], axis=1
+        )
+
+        active = pen > 0
+        pen_c = jnp.where(active, pen, 0.0)
+        n_active = jnp.sum(active, axis=1)                        # (B,)
+        share = jnp.maximum(n_active, 1).astype(pen.dtype)[:, None]
+
+        r_c = cpts - pos[:, None, :]
+        v_c = linvel[:, None, :] + jnp.cross(angvel[:, None, :], r_c)
+        v_rel = v_c - v_surf
+
+        # inverse effective mass along the normal, all in quaternion math:
+        # w_n = 1/m + sum_k (r x n)_body_k^2 / I_k
+        q_c = quat * jnp.array([1.0, -1, -1, -1])
+
+        def inv_mass_along(d):
+            rxd = jnp.cross(r_c, d)
+            rxd_b = quat_rotate(q_c[:, None, :], rxd)
+            return 1.0 / mass_c + jnp.sum(
+                rxd_b**2 * inv_inertia[:, None, :], axis=-1
+            )
+
+        w_n = inv_mass_along(nrm)
+        damp_cap = 0.9 / (w_n * share * p.dt)
+        vn = jnp.sum(v_rel * nrm, axis=-1)
+        fn = p.contact_stiffness * pen_c - damp_cap * vn * active
+        fn = jnp.minimum(jnp.maximum(fn, 0.0) * active, fn_clamp)
+
+        f_n = fn[..., None] * nrm
+        total_f = jnp.sum(f_n, axis=1)
+        total_f = total_f.at[:, 2].add(p.gravity * mass)
+        torque = jnp.sum(jnp.cross(r_c, f_n), axis=1)
+
+        # gyroscopic term + I^-1 application via body frame
+        w_body = quat_rotate(q_c, angvel)
+        gyro_b = jnp.cross(w_body, inertia * w_body)
+        tau_b = quat_rotate(q_c, torque) - gyro_b
+        v_pred = linvel + p.dt * total_f / mass_c
+        w_pred = angvel + p.dt * quat_rotate(quat, tau_b * inv_inertia)
+
+        # ---- friction impulse passes ----
+        # Pass 1 establishes the slip direction t_dir and effective mass
+        # w_t; later passes only re-measure the residual velocity along
+        # t_dir (the direction barely rotates between passes, and
+        # inv_mass_along is the most expensive block in the substep).
+        budget = p.friction_mu * fn * p.dt
+        have = fn > 0
+
+        v_cc = v_pred[:, None, :] + jnp.cross(w_pred[:, None, :], r_c) - v_surf
+        vn_c = jnp.sum(v_cc * nrm, axis=-1, keepdims=True)
+        vt = v_cc - vn_c * nrm
+        vt_n = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_n[..., None], 1e-9)
+        w_t = inv_mass_along(t_dir)
+
+        def apply_impulse(v, w, j):
+            imp = -j[..., None] * t_dir
+            dv = jnp.sum(imp, axis=1) / mass_c
+            tau_i = quat_rotate(q_c, jnp.sum(jnp.cross(r_c, imp), axis=1))
+            dw = quat_rotate(quat, tau_i * inv_inertia)
+            return v + dv, w + dw
+
+        j1 = jnp.minimum(vt_n / (w_t * share), budget) * have
+        v_out, w_out = apply_impulse(v_pred, w_pred, j1)
+        budget = budget - j1
+        for _ in range(max(p.friction_iters - 1, 0)):
+            v_cc2 = v_out[:, None, :] + jnp.cross(w_out[:, None, :], r_c) - v_surf
+            vt_along = jnp.sum(v_cc2 * t_dir, axis=-1)
+            j2 = jnp.clip(vt_along / (w_t * share), 0.0, budget) * have
+            v_out, w_out = apply_impulse(v_out, w_out, j2)
+            budget = budget - j2
+        linvel = jnp.clip(v_out / (1.0 + p.linear_damping * p.dt), -10, 10)
+        angvel = jnp.clip(w_out / (1.0 + p.angular_damping * p.dt), -50, 50)
+        pos = pos + p.dt * linvel
+        w_q = jnp.concatenate([jnp.zeros((B, 1)), angvel], axis=-1)
+        quat = quat_normalize(quat + 0.5 * p.dt * quat_mul(w_q, quat))
+
+        # ---- fingers: penetration-limited servo ----
+        pen_l = jnp.where(pen_box[:, 0] > 0, pen_box[:, 0], 0.0)
+        pen_r = jnp.where(pen_box[:, 1] > 0, pen_box[:, 1], 0.0)
+        step_lim = p.finger_vel_limit * p.dt
+        tgt_f = arm.q_target[:, 7:9]
+        qf_cand = q_f + jnp.clip(tgt_f - q_f, -step_lim, step_lim)
+        k = p.contact_stiffness
+        f_pad = k * jnp.stack([jnp.sum(pen_l, axis=1), jnp.sum(pen_r, axis=1)], -1)
+        n_pad = jnp.stack(
+            [jnp.sum(pen_l > 0, axis=1), jnp.sum(pen_r > 0, axis=1)], -1
+        ).astype(q_f.dtype)
+        floor = q_f + jnp.clip(
+            (f_pad - p.finger_force) / (k * jnp.maximum(n_pad, 1.0)),
+            -step_lim, step_lim,
+        )
+        q_f = jnp.clip(jnp.maximum(qf_cand, floor), 0.0, 0.04)
+
+        grip_now = jnp.any(pen_box.reshape(B, -1) > 0, axis=1)
+        return (pos, quat, linvel, angvel, q_f, grip_any | grip_now), None
+
+    obj = state.obj
+    carry0 = (
+        obj.pos, obj.quat, obj.linvel, obj.angvel,
+        arm.q[:, 7:9], jnp.zeros((B,), bool),
+    )
+    xs = (hand_pos, hand_quat, hand_lin, hand_ang)
+    (pos, quat, linvel, angvel, q_f, grip_any), _ = jax.lax.scan(
+        substep, carry0, xs
+    )
+
+    q_new = jnp.concatenate([q_traj[-1], q_f], axis=-1)
+    return state.replace(
+        arm=arm.replace(q=q_new, qd=qd_final),
+        obj=obj.replace(pos=pos, quat=quat, linvel=linvel, angvel=angvel),
+        contact_force=jnp.zeros((B,)),
+        gripper_contact=grip_any,
+    )

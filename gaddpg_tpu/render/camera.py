@@ -67,18 +67,24 @@ def visible_points(cam: CameraParams, cam_pose_inv, points_world, valid=None,
     (reference: core/utils.py:454-472) minus the OpenGL y-flip round
     trip (we stay in the pinhole frame end to end).
 
+    Hit-pixel compaction is a prefix-sum scatter (hit k lands in slot
+    k), not a sort: top_k over the full image was the single hottest op
+    in the observation path.
+
     Returns (pts (max_points, 3) camera frame, valid mask (max_points,)).
     """
     h, w = cam.height, cam.width
     depth = render_depth_points(cam, cam_pose_inv, points_world, valid).reshape(-1)
     hit = depth > 0
-    # pick up to max_points hit pixels (deterministic: lowest pixel index)
-    key = jnp.where(hit, jnp.arange(h * w), h * w + jnp.arange(h * w))
-    _, idx = jax.lax.top_k(-key, max_points)
-    picked_hit = jnp.take(hit, idx)
+    slot = jnp.cumsum(hit) - 1  # hit pixel k -> slot k
+    slot = jnp.where(hit & (slot < max_points), slot, max_points)  # OOB drop
+    pix = jnp.arange(h * w, dtype=jnp.int32)
+    idx = jnp.zeros((max_points,), jnp.int32).at[slot].set(pix, mode="drop")
+    n_hit = jnp.sum(hit)
+    picked = jnp.arange(max_points) < n_hit
     z = jnp.take(depth, idx)
     u = (idx % w).astype(jnp.float32) + 0.5 - w / 2.0
     v = (idx // w).astype(jnp.float32) + 0.5 - h / 2.0
     f = cam.focal
     pts = jnp.stack([u * z / f, v * z / f, z], axis=-1)
-    return pts, picked_hit
+    return pts, picked

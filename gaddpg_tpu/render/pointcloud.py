@@ -4,8 +4,12 @@ The reference merges each step's backprojected target points into a
 world-frame accumulation cloud with a per-step retention ratio
 0.95^step on the *new* points, then resamples to exactly 1024 points +
 6 hand anchor points for the policy state
-(reference: env/panda_scene.py:698-714,1178-1206). Variable-length numpy
-arrays become a fixed-capacity reservoir here.
+(reference: env/panda_scene.py:698-714,1178-1206).
+
+Implementation notes: the reservoir ring-writes contiguously from slot
+0, so the valid region is always [0, min(count, capacity)) -- sampling
+is a plain `randint` gather and insertion a prefix-sum scatter. No
+sorts anywhere (argsort/top_k dominated the observation cost).
 """
 
 from functools import partial
@@ -15,22 +19,25 @@ import jax.numpy as jnp
 from flax import struct
 
 from gaddpg_tpu.geometry.gripper import HAND_FINGER_POINTS
-from gaddpg_tpu.ops.sampling import regularize_point_count
 
 
 @struct.dataclass
 class PointCloudState:
     points: jnp.ndarray   # (CAP, 3) world frame
-    valid: jnp.ndarray    # (CAP,) bool
+    count: jnp.ndarray    # scalar int32: total points ever kept (saturating)
     cursor: jnp.ndarray   # scalar int32 ring cursor
 
 
 def create_pc_state(capacity: int = 2048) -> PointCloudState:
     return PointCloudState(
         points=jnp.zeros((capacity, 3)),
-        valid=jnp.zeros((capacity,), bool),
+        count=jnp.asarray(0, jnp.int32),
         cursor=jnp.asarray(0, jnp.int32),
     )
+
+
+def num_valid(pc: PointCloudState):
+    return jnp.minimum(pc.count, pc.points.shape[0])
 
 
 @partial(jax.jit, static_argnames=())
@@ -44,20 +51,17 @@ def accumulate_points(pc: PointCloudState, key, new_points, new_valid, env_step,
     oldest entries.
     """
     n = new_points.shape[0]
+    cap = pc.points.shape[0]
     keep_frac = accumulate_ratio ** env_step.astype(jnp.float32)
     keep = (jax.random.uniform(key, (n,)) < keep_frac) & new_valid
-    # compact kept points to the front
-    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-    pts = jnp.take(new_points, order, axis=0)
+    # prefix-sum compaction: kept point k -> ring slot cursor + k
+    slot = jnp.cumsum(keep) - 1
     n_keep = jnp.sum(keep).astype(jnp.int32)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    live = pos < n_keep
-    cap = pc.points.shape[0]
-    idx = (pc.cursor + pos) % cap
-    idx = jnp.where(live, idx, cap)  # dropped
+    idx = (pc.cursor + slot) % cap
+    idx = jnp.where(keep, idx, cap)  # dropped
     return PointCloudState(
-        points=pc.points.at[idx].set(pts, mode="drop"),
-        valid=pc.valid.at[idx].set(True, mode="drop"),
+        points=pc.points.at[idx].set(new_points, mode="drop"),
+        count=pc.count + n_keep,
         cursor=(pc.cursor + n_keep) % cap,
     )
 
@@ -71,12 +75,10 @@ def build_point_state(pc: PointCloudState, key, ef_pose_inv, num_pts: int = 1024
     where n_points counts valid accumulated points (scene validity
     checks use it, reference: core/utils.py:140).
     """
-    sampled, _ = regularize_point_count(
-        key, pc.points, num_pts, valid=pc.valid
-    )
+    n_valid = num_valid(pc)
+    idx = jax.random.randint(key, (num_pts,), 0, jnp.maximum(n_valid, 1))
+    sampled = jnp.take(pc.points, idx, axis=0)
     local = sampled @ ef_pose_inv[:3, :3].T + ef_pose_inv[:3, 3]
-    n_valid = jnp.sum(pc.valid)
-    # zero out everything if no points at all (pre-first-observation)
     local = jnp.where(n_valid > 0, local, 0.0)
 
     hand_pts = HAND_FINGER_POINTS.T  # (6, 3)

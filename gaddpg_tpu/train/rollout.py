@@ -113,7 +113,7 @@ class RolloutWorker:
             action = jnp.where(dart[:, None], perturb_a, action)
 
             step_keys = jax.random.split(key, n)
-            new_states, new_obs, _, new_done, info = jax.vmap(env.step)(
+            new_states, new_obs, _, new_done, info = env.step_batched(
                 states, action, step_keys
             )
             # expert episodes end when the plan does
@@ -156,7 +156,7 @@ class RolloutWorker:
 
         # retract + lift reward on the last valid transition
         retract_keys = jax.random.split(k_retract, n)
-        _, rewards = jax.vmap(env.retract)(states, retract_keys)
+        _, rewards = env.retract_batched(states, retract_keys)
         n_valid = jnp.sum(valid, axis=1)
         is_last = jnp.arange(T)[None, :] == (n_valid - 1)[:, None]
         episodes["reward"] = is_last * rewards[:, None]
@@ -196,7 +196,7 @@ class RolloutWorker:
                 agent_state, obs.point_state, remain, k1, 0.0, False
             )
             step_keys = jax.random.split(key, n)
-            new_states, new_obs, _, new_done, _ = jax.vmap(env.step)(
+            new_states, new_obs, _, new_done, _ = env.step_batched(
                 states, action, step_keys
             )
             keep = ~done
@@ -208,7 +208,7 @@ class RolloutWorker:
             step_fn, (states, obs, jnp.zeros((n,), bool), k_scan), jnp.arange(T)
         )
         retract_keys = jax.random.split(k_retract, n)
-        _, rewards = jax.vmap(env.retract)(states, retract_keys)
+        _, rewards = env.retract_batched(states, retract_keys)
         return {
             "success": rewards,
             "valid_scene": valid_scene,

@@ -1,0 +1,95 @@
+"""Physics invariants: settle stability, no energy pumping, grasp holding.
+
+Contracts are behavioral (lift/fall/contact events), not trajectory-level
+(SURVEY.md section 7 "hard parts").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaddpg_tpu.envs.assets import box_asset, cylinder_asset
+from gaddpg_tpu.physics.step import physics_step
+from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
+from gaddpg_tpu.robot.panda import DEFAULT_JOINTS
+
+
+def make_state(obj_pos, obj_quat=(1.0, 0, 0, 0), q=None, linvel=(0, 0, 0)):
+    if q is None:
+        q = jnp.concatenate([DEFAULT_JOINTS, jnp.array([0.04, 0.04])])
+    return PhysicsState(
+        arm=ArmState(q=q, qd=jnp.zeros(7), q_target=q),
+        obj=BodyState(
+            pos=jnp.asarray(obj_pos, jnp.float32),
+            quat=jnp.asarray(obj_quat, jnp.float32),
+            linvel=jnp.asarray(linvel, jnp.float32),
+            angvel=jnp.zeros(3),
+        ),
+        contact_force=jnp.asarray(0.0),
+        gripper_contact=jnp.asarray(False),
+    )
+
+
+# pin the high-fidelity reference configuration so these invariants are
+# independent of the production dt/substep defaults
+P = PhysicsParams(dt=1e-3, substeps=150, friction_iters=4)
+
+
+def run(state, lib, n, params=P):
+    return physics_step(
+        params, state, lib.spheres[0], lib.mass[0], lib.inertia[0],
+        jnp.eye(4), substeps=n,
+    )
+
+
+class TestSettle:
+    def test_box_settles_at_rest_height(self):
+        lib = box_asset(0.05, 0.05, 0.14, mass=0.2)
+        st = make_state([0.55, 0.0, 0.09])
+        st = run(st, lib, 400)
+        assert abs(float(st.obj.pos[2]) - 0.07) < 2e-3
+        assert float(jnp.linalg.norm(st.obj.linvel)) < 1e-2
+        assert float(jnp.linalg.norm(st.obj.angvel)) < 1e-1
+
+    def test_no_energy_pumping(self):
+        # resting contact for 1 simulated second must stay quiet
+        lib = cylinder_asset(0.033, 0.10, mass=0.35)
+        st = make_state([0.55, 0.0, 0.0501])
+        zs = []
+        for _ in range(5):
+            st = run(st, lib, 200)
+            zs.append(float(st.obj.pos[2]))
+        assert max(zs) - min(zs) < 1e-3, f"resting object drifts: {zs}"
+        assert float(jnp.linalg.norm(st.obj.linvel)) < 1e-2
+
+    def test_free_fall_gravity(self):
+        lib = box_asset(0.04, 0.04, 0.04, mass=0.1)
+        st = make_state([0.55, 0.0, 0.5])
+        st = run(st, lib, 100)  # 0.1 s
+        # z = z0 - g t^2 / 2 (light damping)
+        expected = 0.5 - 0.5 * 9.81 * 0.01
+        assert abs(float(st.obj.pos[2]) - expected) < 2e-3
+
+    def test_sideways_push_fricton_stops_slide(self):
+        lib = box_asset(0.06, 0.06, 0.06, mass=0.3)
+        st = make_state([0.55, 0.0, 0.031], linvel=(0.5, 0, 0))
+        st = run(st, lib, 300)
+        assert float(jnp.abs(st.obj.linvel[0])) < 0.02, "friction failed to stop slide"
+
+
+class TestFingers:
+    def test_fingers_track_target_in_free_space(self):
+        lib = box_asset(0.04, 0.04, 0.04, mass=0.1)
+        st = make_state([0.55, 0.0, 0.5])  # object far from gripper
+        tgt = st.arm.q_target.at[7:9].set(0.0)
+        st = st.replace(arm=st.arm.replace(q_target=tgt))
+        st = run(st, lib, 400)
+        np.testing.assert_allclose(np.asarray(st.arm.q[7:9]), 0.0, atol=1e-4)
+
+    def test_arm_tracks_target(self):
+        lib = box_asset(0.04, 0.04, 0.04, mass=0.1)
+        st = make_state([0.55, 0.0, 0.5])
+        q_tgt = st.arm.q_target.at[0].add(0.3)
+        st = st.replace(arm=st.arm.replace(q_target=q_tgt))
+        st = run(st, lib, 400)
+        assert abs(float(st.arm.q[0] - q_tgt[0])) < 1e-3
