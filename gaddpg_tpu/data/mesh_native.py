@@ -1,0 +1,164 @@
+"""ctypes bindings for native/mesh_tools.cc, with numpy fallbacks.
+
+The native library is optional (build with `make -C native`); the
+fallbacks implement identical semantics in vectorized numpy, adequate
+for small meshes and for CI.
+"""
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _find_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libmesh_tools.so"),
+        os.path.join(os.path.dirname(__file__), "libmesh_tools.so"),
+    ):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+            lib.voxel_occupancy.argtypes = [f32p, ctypes.c_int, f32p, f32p,
+                                            ctypes.c_int, u8p]
+            lib.surface_distance_grid.argtypes = [f32p, ctypes.c_int, f32p, f32p,
+                                                  ctypes.c_int, f32p]
+            lib.sphere_pack.argtypes = [u8p, f32p, f32p, f32p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_float, f32p]
+            lib.sphere_pack.restype = ctypes.c_int
+            lib.surface_sample.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_uint64, f32p]
+            _LIB = lib
+            return lib
+    return None
+
+
+def native_available() -> bool:
+    return _find_lib() is not None
+
+
+def _grid_centers(lo, hi, res):
+    axes = [np.linspace(lo[i], hi[i], res, endpoint=False)
+            + (hi[i] - lo[i]) / res / 2 for i in range(3)]
+    return np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+
+
+def voxel_occupancy(tris: np.ndarray, lo, hi, res: int) -> np.ndarray:
+    """(res, res, res) uint8 interior flags via z-ray parity counting."""
+    tris = np.ascontiguousarray(tris, np.float32).reshape(-1, 3, 3)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    lib = _find_lib()
+    if lib is not None:
+        out = np.zeros(res**3, np.uint8)
+        lib.voxel_occupancy(tris.reshape(-1), len(tris), lo, hi, res, out)
+        return out.reshape(res, res, res)
+    # numpy fallback: vectorized Moller-Trumbore per (x, y) column
+    centers = _grid_centers(lo, hi, res)
+    out = np.zeros((res, res, res), np.uint8)
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    e1, e2 = v1 - v0, v2 - v0
+    d = np.array([0.0, 0.0, 1.0])
+    p = np.cross(d, e2)
+    det = np.einsum("tj,tj->t", e1, p)
+    ok0 = np.abs(det) > 1e-12
+    inv = np.where(ok0, 1.0 / np.where(ok0, det, 1.0), 0.0)
+    for ix in range(res):
+        for iy in range(res):
+            o = np.array([centers[ix, iy, 0, 0], centers[ix, iy, 0, 1], lo[2] - 1.0])
+            tv = o - v0
+            u = np.einsum("tj,tj->t", tv, p) * inv
+            q = np.cross(tv, e1)
+            vv = q[:, 2] * inv
+            t = np.einsum("tj,tj->t", e2, q) * inv
+            hit = ok0 & (u >= 0) & (u <= 1) & (vv >= 0) & (u + vv <= 1) & (t > 1e-12)
+            ts = np.sort(t[hit])
+            zs = centers[ix, iy, :, 2] - (lo[2] - 1.0)
+            out[ix, iy] = (np.searchsorted(ts, zs) % 2).astype(np.uint8)
+    return out
+
+
+def surface_distance_grid(tris: np.ndarray, lo, hi, res: int) -> np.ndarray:
+    """(res,res,res) float32 unsigned distance to the mesh surface."""
+    tris = np.ascontiguousarray(tris, np.float32).reshape(-1, 3, 3)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    lib = _find_lib()
+    if lib is not None:
+        out = np.zeros(res**3, np.float32)
+        lib.surface_distance_grid(tris.reshape(-1), len(tris), lo, hi, res, out)
+        return out.reshape(res, res, res)
+    # fallback: distance to triangle VERTICES + dense surface samples
+    # (approximation adequate for sphere seeding)
+    samples = surface_sample(tris, 4096, seed=0)
+    pts = np.concatenate([tris.reshape(-1, 3), samples])
+    centers = _grid_centers(lo, hi, res).reshape(-1, 3)
+    d = np.sqrt(
+        ((centers[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    ).min(axis=1)
+    return d.reshape(res, res, res).astype(np.float32)
+
+
+def sphere_pack(occ: np.ndarray, dist: np.ndarray, lo, hi,
+                max_spheres: int = 32, min_radius: float = 0.004) -> np.ndarray:
+    """Greedy deepest-first interior sphere packing -> (n, 4) [xyz r]."""
+    res = occ.shape[0]
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    lib = _find_lib()
+    if lib is not None:
+        out = np.zeros(max_spheres * 4, np.float32)
+        n = lib.sphere_pack(
+            np.ascontiguousarray(occ.reshape(-1)),
+            np.ascontiguousarray(dist.reshape(-1), np.float32),
+            lo, hi, res, max_spheres, np.float32(min_radius), out,
+        )
+        return out.reshape(-1, 4)[:n].copy()
+    # numpy fallback of the same greedy loop
+    centers = _grid_centers(lo, hi, res).reshape(-1, 3)
+    d = dist.reshape(-1).astype(np.float32).copy()
+    occf = occ.reshape(-1).astype(bool)
+    spheres = []
+    while len(spheres) < max_spheres:
+        masked = np.where(occf, d, 0.0)
+        i = int(np.argmax(masked))
+        if masked[i] <= min_radius:
+            break
+        c, r = centers[i], float(d[i])
+        spheres.append([*c, r])
+        covered = (
+            np.linalg.norm(centers - c, axis=-1) + 0.6 * d < r
+        )
+        d[covered] = 0.0
+    return np.asarray(spheres, np.float32).reshape(-1, 4)
+
+
+def surface_sample(tris: np.ndarray, n_samples: int, seed: int = 0) -> np.ndarray:
+    """(n_samples, 3) area-weighted surface samples."""
+    tris = np.ascontiguousarray(tris, np.float32).reshape(-1, 3, 3)
+    lib = _find_lib()
+    if lib is not None:
+        out = np.zeros(n_samples * 3, np.float32)
+        lib.surface_sample(tris.reshape(-1), len(tris), n_samples,
+                           np.uint64(seed), out)
+        return out.reshape(-1, 3)
+    rng = np.random.RandomState(seed)
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    probs = area / max(area.sum(), 1e-12)
+    t = rng.choice(len(tris), size=n_samples, p=probs)
+    u = rng.rand(n_samples, 1)
+    w = rng.rand(n_samples, 1)
+    flip = (u + w) > 1
+    u = np.where(flip, 1 - u, u)
+    w = np.where(flip, 1 - w, w)
+    return (tris[t, 0] + u * e1[t] + w * e2[t]).astype(np.float32)

@@ -161,9 +161,9 @@ class PandaGraspEnv:
         return state.replace(pc=pc), obs
 
     # ------------------------------------------------------------------
-    def reset(self, key, obj_idx=None) -> Tuple[EnvState, Observation]:
-        """Scene + arm randomization (reference: env/panda_scene.py:995-1035,
-        777-827)."""
+    def sample_scene(self, key, obj_idx=None):
+        """Randomize a scene (reference: env/panda_scene.py:995-1035,
+        777-827). Returns a Scene dict usable with `reset_scene`."""
         p = self.p
         ks = jax.random.split(key, 8)
         if obj_idx is None:
@@ -176,7 +176,6 @@ class PandaGraspEnv:
         yaw = jax.random.uniform(ks[3], (), minval=-jnp.pi, maxval=jnp.pi)
         quat = jnp.array([jnp.cos(yaw / 2), 0.0, 0.0, jnp.sin(yaw / 2)])
         pos = jnp.stack([x, y, self.lib.rest_height[obj_idx] + 2e-3])
-        obj = BodyState(pos=pos, quat=quat, linvel=jnp.zeros(3), angvel=jnp.zeros(3))
 
         # arm init: spherical sample around the target, hand z at target
         theta = jax.random.uniform(ks[4], (), minval=0.0, maxval=2 * jnp.pi / 3)
@@ -204,8 +203,25 @@ class PandaGraspEnv:
         rot = jnp.stack([x_axis, y_axis, z_axis], axis=-1)
         q_init, ik_ok = ik_from_seeds(trans, rot)
         q_init = jnp.where(ik_ok, q_init, DEFAULT_JOINTS)
+        return {
+            "obj_idx": obj_idx,
+            "obj_pos": pos,
+            "obj_quat": quat,
+            "joints": q_init,
+            "ik_ok": ik_ok,
+        }
 
-        q = jnp.concatenate([q_init, jnp.array([0.04, 0.04])])
+    def reset_scene(self, scene, key) -> Tuple[EnvState, Observation]:
+        """Deterministic reset from a Scene dict (the scene-file protocol,
+        reference: env/panda_scene.py:336-343 place_objects_from_scene)."""
+        p = self.p
+        obj_idx = scene["obj_idx"]
+        obj = BodyState(
+            pos=scene["obj_pos"], quat=scene["obj_quat"],
+            linvel=jnp.zeros(3), angvel=jnp.zeros(3),
+        )
+        ik_ok = scene.get("ik_ok", jnp.asarray(True))
+        q = jnp.concatenate([scene["joints"], jnp.array([0.04, 0.04])])
         phys = PhysicsState(
             arm=ArmState(q=q, qd=jnp.zeros(7), q_target=q),
             obj=obj,
@@ -247,6 +263,12 @@ class PandaGraspEnv:
             & (obs.num_points > 50)
         )
         return state.replace(valid_scene=valid), obs
+
+    def reset(self, key, obj_idx=None) -> Tuple[EnvState, Observation]:
+        """Randomized episode reset: sample a scene, then init from it."""
+        k_scene, k_init = jax.random.split(key)
+        scene = self.sample_scene(k_scene, obj_idx)
+        return self.reset_scene(scene, k_init)
 
     # ------------------------------------------------------------------
     def _update_goal(self, state: EnvState) -> EnvState:

@@ -156,12 +156,25 @@ class Trainer:
         return self.obj_perf
 
     # ------------------------------------------------------------------
-    def evaluate(self, episodes: int = 1):
-        """Policy-only evaluation waves; returns success rate."""
+    def evaluate(self, episodes: int = 1, scenes=None):
+        """Policy-only evaluation waves; returns success rate.
+
+        With `scenes` (a scene set dict from envs.scenes) the protocol is
+        deterministic: wave w evaluates scenes [w*num_envs, ...) with
+        wraparound, mirroring the reference's fixed scene_{k} loop.
+        """
+        from gaddpg_tpu.envs.scenes import scene_slice
+
         total, ok = 0, 0
         perf = ObjectPerformance(self.lib.names)
-        for _ in range(episodes):
-            out = self.worker.evaluate(self.agent_state, self._next_key())
+        for w in range(episodes):
+            if scenes is not None:
+                batch = scene_slice(scenes, w * self.cfg.num_envs, self.cfg.num_envs)
+                out = self.worker.evaluate_scenes(
+                    self.agent_state, batch, self._next_key()
+                )
+            else:
+                out = self.worker.evaluate(self.agent_state, self._next_key())
             v = np.asarray(out["valid_scene"])
             r = np.asarray(out["success"])
             perf.update(np.asarray(out["obj_idx"]), r, v)

@@ -45,6 +45,7 @@ class RolloutWorker:
         self.select_action = make_select_action(agent_cfg)
         self.rollout = jax.jit(self._rollout)
         self.evaluate = jax.jit(self._evaluate)
+        self.evaluate_scenes = jax.jit(self._evaluate_scenes)
 
     # ------------------------------------------------------------------
     def _reset_all(self, key, num_envs):
@@ -173,18 +174,26 @@ class RolloutWorker:
 
     # ------------------------------------------------------------------
     def _evaluate(self, agent_state, key):
-        """Deterministic policy evaluation episodes (no noise, no expert).
+        """Policy evaluation on freshly randomized scenes."""
+        k_reset, k_run = jax.random.split(key)
+        states, obs = self._reset_all(k_reset, self.cfg.num_envs)
+        return self._eval_from(agent_state, states, obs, k_run)
 
-        The analogue of the offline test loop
-        (reference: core/train_test_offline.py:165-303).
-        """
+    def _evaluate_scenes(self, agent_state, scenes, key):
+        """Policy evaluation on a fixed scene set (reproducible protocol,
+        reference: core/train_test_offline.py:176-256)."""
+        k_reset, k_run = jax.random.split(key)
+        keys = jax.random.split(k_reset, self.cfg.num_envs)
+        states, obs = jax.vmap(self.env.reset_scene)(scenes, keys)
+        return self._eval_from(agent_state, states, obs, k_run)
+
+    def _eval_from(self, agent_state, states, obs, key):
         cfg = self.cfg
         env = self.env
         n = cfg.num_envs
         T = cfg.rollout_horizon
 
-        k_reset, k_scan, k_retract = jax.random.split(key, 3)
-        states, obs = self._reset_all(k_reset, n)
+        k_scan, k_retract = jax.random.split(key)
         valid_scene = states.valid_scene
         plan_len = jax.vmap(env.expert_steps)(states)
 
