@@ -40,7 +40,12 @@ from gaddpg_tpu.models.heads import TASK6D_HIGH
 from gaddpg_tpu.physics.fast import fast_physics_step
 from gaddpg_tpu.physics.step import physics_step
 from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
-from gaddpg_tpu.render.camera import CameraParams, render_depth_points, visible_points
+from gaddpg_tpu.render.camera import (
+    CameraParams,
+    render_depth_points,
+    render_rgbdm,
+    visible_points,
+)
 from gaddpg_tpu.render.pointcloud import (
     PointCloudState,
     accumulate_points,
@@ -77,6 +82,7 @@ class EnvParams:
     step_ik_iters: int = 8
     settle_substeps: int = 200
     termination_heuristics: bool = True
+    use_image: bool = False              # emit RGBDM image observations
     lift_height: float = 0.08            # success (reference: :877)
     fall_height: float = 0.03            # failure (reference: :868)
     retract_lift_steps: int = 10
@@ -104,6 +110,7 @@ class Observation:
     joint_pos: jnp.ndarray     # (9,)
     ef_pose: jnp.ndarray       # (4, 4) hand in world
     goal_pose: jnp.ndarray     # (7,) [q, t] hand->goal
+    image: jnp.ndarray         # (5, H, W) RGBDM when use_image else (5, 1, 1)
 
 
 class PandaGraspEnv:
@@ -150,6 +157,18 @@ class PandaGraspEnv:
             pc, k2, se3_inverse(hand), p.uniform_num_pts
         )
 
+        if self.p.use_image:
+            # deterministic pseudo-albedo per object index
+            oi = state.obj_idx.astype(jnp.float32)
+            albedo = 0.35 + 0.6 * jnp.abs(
+                jnp.sin(oi * jnp.array([1.7, 2.9, 4.3]) + jnp.array([0.0, 2.0, 4.0]))
+            )
+            image = render_rgbdm(
+                self.p.camera, cam_inv, surf_w, albedo
+            )
+        else:
+            image = jnp.zeros((5, 1, 1))
+
         goal_rel = se3_inverse(hand) @ self._goal_world(state)
         obs = Observation(
             point_state=point_state,
@@ -157,6 +176,7 @@ class PandaGraspEnv:
             joint_pos=state.phys.arm.q,
             ef_pose=hand,
             goal_pose=pack_pose_rot_first(goal_rel),
+            image=image,
         )
         return state.replace(pc=pc), obs
 

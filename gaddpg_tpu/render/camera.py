@@ -57,6 +57,29 @@ def render_depth_points(cam: CameraParams, cam_pose_inv, points_world, valid=Non
     return depth.reshape(h, w)
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def render_rgbdm(cam: CameraParams, cam_pose_inv, points_world, albedo,
+                 valid=None):
+    """RGBDM image (5, H, W) from target surface points.
+
+    Channel layout matches the reference's processed image state
+    (reference: env/panda_scene.py:433-437,1163-1176): RGB in [0, 1],
+    metric depth, mask with 0 = target pixels / 1 = background.
+
+    RGB is a proxy shading (albedo attenuated by a depth-based factor):
+    the flagship policy is point-cloud-based (use_image=False in every
+    reference config), so image observations are provided for the
+    ResNet variant's input contract, not photometric fidelity.
+    """
+    h, w = cam.height, cam.width
+    depth = render_depth_points(cam, cam_pose_inv, points_world, valid)
+    hit = depth > 0
+    shade = jnp.where(hit, 1.0 / (1.0 + 2.0 * depth), 0.0)
+    rgb = albedo[:, None, None] * shade[None]
+    mask = jnp.where(hit, 0.0, 1.0)
+    return jnp.concatenate([rgb, depth[None], mask[None]], axis=0)
+
+
 @partial(jax.jit, static_argnames=("cam", "max_points"))
 def visible_points(cam: CameraParams, cam_pose_inv, points_world, valid=None,
                    max_points: int = 512):
