@@ -85,23 +85,31 @@ def _cyl_spheres(r, h, target=NS):
 
 
 def _hollow_spheres(r, h, wall, target=NS):
-    """Wall annulus + bottom disk (bowl/mug)."""
+    """Wall annulus + bottom disk (bowl/mug).
+
+    The top (rim) ring must be dense enough that a 2.2 cm finger pad
+    always straddles at least one sphere -- rim pinches are THE grasp
+    for these objects, so the rim gets most of the budget.
+    """
     rs = float(max(wall / 2, 0.006))
     ring_r = r - rs
-    n_z = max(2, min(5, int(round(h / (2 * rs)))))
-    zs = np.linspace(-h / 2 + rs, h / 2 - rs, n_z)
     rows = []
-    for z in zs:
-        n_ring = min(12, max(6, int(round(2 * np.pi * ring_r / (2 * rs)))))
-        for k in range(n_ring):
-            a = 2 * np.pi * k / n_ring
-            rows.append([ring_r * np.cos(a), ring_r * np.sin(a), z, rs])
-    # bottom
-    for rr in np.linspace(0, ring_r - rs, 2):
-        n_ring = max(1, int(round(2 * np.pi * max(rr, 1e-3) / (2 * rs))))
-        for k in range(n_ring):
-            a = 2 * np.pi * k / n_ring
-            rows.append([rr * np.cos(a), rr * np.sin(a), -h / 2 + rs, rs])
+    # rim ring: spacing <= 1.5 cm along the circumference
+    n_rim = max(8, int(np.ceil(2 * np.pi * ring_r / 0.015)))
+    n_rim = min(n_rim, target - 10)
+    for k in range(n_rim):
+        a = 2 * np.pi * k / n_rim
+        rows.append([ring_r * np.cos(a), ring_r * np.sin(a), h / 2 - rs, rs])
+    # mid wall ring (side support)
+    for k in range(6):
+        a = 2 * np.pi * k / 6 + 0.3
+        rows.append([ring_r * np.cos(a), ring_r * np.sin(a), 0.0, rs])
+    # bottom disk
+    rows.append([0.0, 0.0, -h / 2 + rs, rs])
+    for k in range(3):
+        a = 2 * np.pi * k / 3
+        rr = ring_r * 0.6
+        rows.append([rr * np.cos(a), rr * np.sin(a), -h / 2 + rs, rs])
     rows = np.asarray(rows)
     if len(rows) > target:
         rows = rows[np.linspace(0, len(rows) - 1, target).astype(int)]

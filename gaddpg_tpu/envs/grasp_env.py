@@ -272,15 +272,28 @@ class PandaGraspEnv:
         state, obs = self._observe(state, obs_key)
 
         # scene validity (reference: core/utils.py:132-149): tcp distance
-        # in range, enough target pixels, IK solvable
+        # in range, enough target pixels, IK solvable, and a reachable
+        # grasp exists (generalizes the reference's 'pitcher' name filter)
         hand = self._hand(state)
         tcp = hand[:3, 3] + hand[:3, :3] @ jnp.array([0.0, 0.0, 0.13])
         dist = jnp.linalg.norm(phys.obj.pos - tcp)
+        goal_w, _, grasp_found = nearest_grasp_goal(
+            hand, self._obj_pose(state.phys.obj),
+            self.lib.grasps[obj_idx], self.lib.grasp_valid[obj_idx],
+        )
+        # goal must be kinematically reachable, else the episode is
+        # skipped -- the reference drops episodes whose planner fails
+        # (reference: core/train_online.py:227-229)
+        _, goal_reachable = ik_from_seeds(
+            goal_w[:3, 3], goal_w[:3, :3], iters=20
+        )
         valid = (
             ik_ok
             & (dist > 0.15)
             & (dist < 0.6)
             & (obs.num_points > 50)
+            & grasp_found
+            & goal_reachable
         )
         return state.replace(valid_scene=valid), obs
 
@@ -404,11 +417,26 @@ class PandaGraspEnv:
             collided_before=states.collided_before | collided,
         )
 
-    def step_batched(self, states: EnvState, actions, keys):
-        """Batched step() over (B,) states; keys (B, 2)-shaped PRNG keys."""
+    def step_batched(self, states: EnvState, actions, keys, requery_goal=None):
+        """Batched step() over (B,) states; keys (B, 2)-shaped PRNG keys.
+
+        `requery_goal` (B,) bool: re-pick the nearest grasp this step.
+        The reference only re-queries for explore episodes; the expert
+        tracks the fixed goal of its plan
+        (reference: core/train_online.py:253 nearest=explore).
+        """
         states = jax.vmap(self._apply_action)(states, actions)
         states = self._physics_batched(states)
-        states = jax.vmap(self._update_goal)(states)
+        new_goal_states = jax.vmap(self._update_goal)(states)
+        if requery_goal is None:
+            states = new_goal_states
+        else:
+            states = states.replace(
+                goal_obj=jnp.where(
+                    requery_goal[:, None, None],
+                    new_goal_states.goal_obj, states.goal_obj,
+                )
+            )
 
         obs_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
         states, obs = jax.vmap(self._observe)(states, obs_keys)

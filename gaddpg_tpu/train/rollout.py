@@ -43,7 +43,7 @@ class RolloutWorker:
         self.cfg = train_cfg
         self.agent_cfg = agent_cfg
         self.select_action = make_select_action(agent_cfg)
-        self.rollout = jax.jit(self._rollout)
+        self.rollout = jax.jit(self._rollout, static_argnames=("expert_only",))
         self.evaluate = jax.jit(self._evaluate)
         self.evaluate_scenes = jax.jit(self._evaluate_scenes)
 
@@ -53,8 +53,13 @@ class RolloutWorker:
         return jax.vmap(self.env.reset)(keys)
 
     # ------------------------------------------------------------------
-    def _rollout(self, agent_state, key, explore_frac, noise_scale):
-        """Returns (episodes (N,T,...), valid (N,T), rewards (N,), stats)."""
+    def _rollout(self, agent_state, key, explore_frac, noise_scale,
+                 expert_only: bool = False):
+        """Returns (episodes (N,T,...), valid (N,T), rewards (N,), stats).
+
+        `expert_only=True` compiles out the policy forward pass -- the
+        expert data-generation workflow (bc_save_data) never reads it.
+        """
         cfg = self.cfg
         env = self.env
         n = cfg.num_envs
@@ -78,9 +83,12 @@ class RolloutWorker:
 
             expert_a = jax.vmap(env.expert_action)(states)
             remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
-            policy_a, _ = self.select_action(
-                agent_state, obs.point_state, remain, k1, noise_scale, True
-            )
+            if expert_only:
+                policy_a = expert_a
+            else:
+                policy_a, _ = self.select_action(
+                    agent_state, obs.point_state, remain, k1, noise_scale, True
+                )
 
             t_f = t.astype(jnp.float32)
             dagger = (
@@ -115,10 +123,14 @@ class RolloutWorker:
 
             step_keys = jax.random.split(key, n)
             new_states, new_obs, _, new_done, info = env.step_batched(
-                states, action, step_keys
+                states, action, step_keys,
+                requery_goal=explore_env & ~dagger,
             )
-            # expert episodes end when the plan does
-            new_done = new_done | (~explore_env & (t_f >= plan_len - 1.0))
+            # expert episodes end when the plan does (+slack: the servo
+            # tracks a distance heuristic, not an exact trajectory, and
+            # the reference extends past plan end too,
+            # reference: core/train_online.py:286 EXTEND_MAX_STEP)
+            new_done = new_done | (~explore_env & (t_f >= plan_len + 3.0))
 
             # freeze finished envs
             keep = ~done
