@@ -467,6 +467,22 @@ class PandaGraspEnv:
         }
         return states, obs, reward, states.done, info
 
+    def step_joint(self, states: EnvState, q_targets, keys):
+        """Joint-space action variant (PandaJointSpace / config actions,
+        reference: env/panda_scene.py:744-747): absolute 9-dof targets
+        bypass the task-space IK."""
+        states = states.replace(
+            phys=states.phys.replace(
+                arm=states.phys.arm.replace(q_target=q_targets)
+            )
+        )
+        states = self._physics_batched(states)
+        states = jax.vmap(self._update_goal)(states)
+        obs_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        states, obs = jax.vmap(self._observe)(states, obs_keys)
+        states = states.replace(env_step=states.env_step + 1)
+        return states, obs
+
     def retract_batched(self, states: EnvState, keys):
         """Batched retract(): close fingers, lift, score."""
         p = self.p

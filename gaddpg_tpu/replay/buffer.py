@@ -55,10 +55,15 @@ class ReplayBuffer:
         return self.point_state.shape[0]
 
 
-def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32) -> ReplayBuffer:
+def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
+                  point_dtype=None) -> ReplayBuffer:
+    """point_dtype (e.g. jnp.bfloat16) halves the dominant array: the
+    point clouds are (size, 4, num_points) and dwarf everything else
+    (the reference stores them as float64 numpy,
+    reference: core/replay_memory.py:376)."""
     f = lambda *shape: jnp.zeros(shape, dtype)
     return ReplayBuffer(
-        point_state=f(size, 4, num_points),
+        point_state=jnp.zeros((size, 4, num_points), point_dtype or dtype),
         next_point_state_unused=jnp.zeros((0,), dtype),
         action=f(size, 6),
         expert_action=f(size, 6),
