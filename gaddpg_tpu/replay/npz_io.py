@@ -21,9 +21,13 @@ _SAVE_KEYS = (
 )
 
 
-def save_npz(buf: ReplayBuffer, path: str):
+def save_npz(buf: ReplayBuffer, path: str, trim: bool = True):
+    """Dump the buffer. `trim=True` saves only the live transitions
+    (the reference dumps full preallocated arrays, which makes mostly
+    empty multi-GB files; the loader accepts either)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    save = {k: np.asarray(getattr(buf, k)) for k in _SAVE_KEYS}
+    n = buf.size if (not trim or bool(buf.is_full)) else max(int(buf.cur_idx), 1)
+    save = {k: np.asarray(getattr(buf, k))[:n] for k in _SAVE_KEYS}
     save["is_full"] = bool(buf.is_full)
     save["cur_idx"] = int(buf.cur_idx)
     save["total_env_step"] = int(buf.total_env_step)

@@ -91,11 +91,14 @@ class RolloutWorker:
                 )
 
             t_f = t.astype(jnp.float32)
+            # the reference caps DAgger at expert_traj_length-8 with fixed
+            # 20-step OMG plans; our servo plan lengths are distance-based
+            # (often ~10), so cap relative to the actual plan instead
             dagger = (
                 jnp.asarray(cfg.dagger)
                 & explore_env
                 & (t_f > cfg.dagger_min_step)
-                & (t_f < jnp.minimum(cfg.dagger_max_step, plan_len - 8))
+                & (t_f < jnp.minimum(cfg.dagger_max_step, plan_len + 2.0))
                 & (jax.random.uniform(k2, (n,)) < cfg.dagger_ratio)
             )
             dart = (
