@@ -1,15 +1,22 @@
-"""Headline benchmark: env steps/sec/chip at 1024 parallel envs.
+"""Headline benchmark: env steps/sec/chip at 1024 parallel envs, plus
+the learner-update time at the reference's training envelope.
 
 Runs the full environment step (IK -> 150 physics substeps -> point
-render -> observation build) vmapped over NUM_ENVS on one chip, and
-prints ONE JSON line:
+render -> observation build) vmapped over NUM_ENVS on one chip, times
+the jitted DDPG update at batch 256 / 1030 points (reference:
+experiments/config.py:72-73), and prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "learner_update_ms_b256": N, "pallas_pointnet": bool}
 
 vs_baseline is measured against the BASELINE.json north star of
 10,000 env steps/sec/chip (the reference's Ray farm tops out around
 tens of env steps/sec total on a 4x V100 box, reference:
 core/train_online.py:540-546 + experiments/config.py:147).
+
+Env knobs: BENCH_ENVS, BENCH_STEPS, BENCH_MODE=env|learner|all (default
+all), BENCH_LEARNER_BATCH, GADDPG_PALLAS=1 to route PointNet through
+the Pallas kernels.
 """
 
 import json
@@ -19,15 +26,17 @@ import time
 import jax
 import jax.numpy as jnp
 
-from gaddpg_tpu.envs import EnvParams, PandaGraspEnv
-from gaddpg_tpu.envs.assets import library_from_index
-
 NUM_ENVS = int(os.environ.get("BENCH_ENVS", 1024))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
+MODE = os.environ.get("BENCH_MODE", "all")
+LEARNER_BATCH = int(os.environ.get("BENCH_LEARNER_BATCH", 256))
 TARGET = 10000.0  # north-star env steps/sec/chip
 
 
-def main():
+def bench_env_steps():
+    from gaddpg_tpu.envs import EnvParams, PandaGraspEnv
+    from gaddpg_tpu.envs.assets import library_from_index
+
     lib = library_from_index("ycb", "train")
     env = PandaGraspEnv(EnvParams(), lib)
     key = jax.random.PRNGKey(0)
@@ -52,14 +61,73 @@ def main():
         states, obs, r, d, info = step(states, actions, sk)
     jax.block_until_ready(obs.point_state)
     dt = time.perf_counter() - t0
+    return NUM_ENVS * STEPS / dt
 
-    steps_per_sec = NUM_ENVS * STEPS / dt
-    print(json.dumps({
-        "metric": f"env steps/sec/chip at {NUM_ENVS} parallel envs",
-        "value": round(steps_per_sec, 1),
-        "unit": "env steps/sec",
-        "vs_baseline": round(steps_per_sec / TARGET, 3),
-    }))
+
+def bench_learner_update(batch: int = 256, npts: int = 1030, iters: int = 3):
+    """Jitted DDPG update time (ms) at the reference's training envelope
+    (reference: experiments/config.py:72-73: batch 256, 1030-pt clouds)."""
+    from gaddpg_tpu.agents.config import AgentConfig
+    from gaddpg_tpu.agents.ddpg import make_ddpg_update
+    from gaddpg_tpu.agents.state import create_agent_state
+
+    cfg = AgentConfig(batch_size=batch)
+    key = jax.random.PRNGKey(0)
+    state = create_agent_state(key, cfg, npoints=npts)
+    update = jax.jit(make_ddpg_update(cfg), donate_argnums=(0,))
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    ps = jax.random.normal(ks[0], (batch, 4, npts)) * 0.05
+    ps = ps.at[:, 3, :].set(0.0).at[:, 3, :6].set(1.0)
+    goal = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0.1]), (batch, 1))
+    data = {
+        "point_state": ps,
+        "next_point_state": ps,
+        "action": jax.random.uniform(ks[1], (batch, 6), minval=-0.05, maxval=0.05),
+        "expert_action": jax.random.uniform(ks[2], (batch, 6), minval=-0.05, maxval=0.05),
+        "reward": jnp.zeros((batch,)),
+        "return": jnp.ones((batch,)),
+        "terminal": jnp.zeros((batch,)),
+        "time": jnp.full((batch,), 10.0),
+        "goal": goal,
+        "next_goal": goal,
+        "expert_flags": jnp.ones((batch,)),
+        "perturb_flags": jnp.zeros((batch,)),
+    }
+
+    state, metrics = update(state, data, ks[3])  # compile
+    jax.block_until_ready(metrics["critic_loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = update(state, data, jax.random.fold_in(ks[3], i))
+    jax.block_until_ready(metrics["critic_loss"])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from gaddpg_tpu.ops import pallas_kernels
+
+    result = {}
+    if MODE in ("env", "all"):
+        sps = bench_env_steps()
+        result.update(
+            metric=f"env steps/sec/chip at {NUM_ENVS} parallel envs",
+            value=round(sps, 1),
+            unit="env steps/sec",
+            vs_baseline=round(sps / TARGET, 3),
+        )
+    if MODE in ("learner", "all"):
+        ms = bench_learner_update(batch=LEARNER_BATCH)
+        result["learner_update_ms_b%d" % LEARNER_BATCH] = round(ms, 1)
+        result["pallas_pointnet"] = bool(pallas_kernels.pallas_enabled())
+        if MODE == "learner":
+            result.update(
+                metric=f"DDPG update latency at batch {LEARNER_BATCH}",
+                value=round(ms, 1),
+                unit="ms",
+                vs_baseline=0.0,
+            )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -26,9 +26,16 @@ def main():
     lib = box_asset(0.05, 0.05, 0.12, mass=0.2)
     tr = Trainer(cfg, lib=lib)
 
-    t0 = time.time()
-    stats = tr.collect()
-    print(f"[collect] {time.time()-t0:.1f}s {stats}")
+    from gaddpg_tpu import replay
+
+    # scene randomization can invalidate envs; collect waves until the
+    # buffer can serve a full batch
+    for _ in range(10):
+        t0 = time.time()
+        stats = tr.collect()
+        print(f"[collect] {time.time()-t0:.1f}s {stats}")
+        if int(replay.upper_idx(tr.buffer)) >= cfg.batch_size:
+            break
     losses = []
     for i in range(int(os.environ.get("ITERS", 8))):
         t0 = time.time()

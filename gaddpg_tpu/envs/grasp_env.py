@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gaddpg_tpu.envs.assets import ObjectLibrary
+from gaddpg_tpu.expert.chomp import PLAN_STEPS, plan_action, plan_to_goal
 from gaddpg_tpu.expert.goals import nearest_grasp_goal
 from gaddpg_tpu.expert.servo import expert_action as servo_expert_action
 from gaddpg_tpu.expert.servo import expert_plan_length
@@ -38,13 +39,16 @@ from gaddpg_tpu.geometry.se3 import (
 )
 from gaddpg_tpu.models.heads import TASK6D_HIGH
 from gaddpg_tpu.physics.fast import fast_physics_step
-from gaddpg_tpu.physics.step import physics_step
+from gaddpg_tpu.physics.step import gripper_box_poses, physics_step
 from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
 from gaddpg_tpu.render.camera import (
     CameraParams,
+    box_zdepth,
+    depth_to_points,
+    plane_zdepth,
     render_depth_points,
     render_rgbdm,
-    visible_points,
+    visible_target_depth,
 )
 from gaddpg_tpu.render.pointcloud import (
     PointCloudState,
@@ -79,6 +83,23 @@ class EnvParams:
     init_far: float = 0.5                # ENV_FAR
     spawn_x: Tuple[float, float] = (0.50, 0.60)
     spawn_y: Tuple[float, float] = (-0.125, 0.125)
+    # cluttered scenes: K extra static objects placed on a jittered grid
+    # (reference places 1 target + load_obj_num-1 obstacles,
+    # reference: env/panda_scene.py:995-1035); 0 = single-object scenes
+    num_clutter: int = 0
+    # CHOMP-style trajectory-optimizer expert instead of the straight
+    # servo (required for clutter; see expert/chomp.py)
+    use_planner: bool = False
+    # grid kept inside the arm's validity envelope (reset requires
+    # 0.15 < tcp-target distance < 0.6)
+    clutter_grid_x: Tuple[float, float] = (0.45, 0.69)
+    clutter_grid_y: Tuple[float, float] = (-0.14, 0.14)
+    clutter_jitter: float = 0.015
+    # scene resample attempts per reset (the reference retries invalid
+    # scenes up to ENV_RESET_TRIALS times, reference:
+    # core/train_online.py:180-188); >1 costs proportionally more reset
+    # compute in SPMD but multiplies down the invalid-scene rate
+    reset_tries: int = 2
     step_ik_iters: int = 8
     settle_substeps: int = 200
     termination_heuristics: bool = True
@@ -101,6 +122,14 @@ class EnvState:
     collided_before: jnp.ndarray  # bool: any contact so far
     done: jnp.ndarray             # bool
     valid_scene: jnp.ndarray      # bool (check_scene analogue)
+    # static clutter (K = EnvParams.num_clutter; (0,) shapes when unused)
+    clutter_idx: jnp.ndarray      # (K,) int32 library indices
+    clutter_pos: jnp.ndarray      # (K, 3)
+    clutter_quat: jnp.ndarray     # (K, 4) wxyz
+    # expert plan (populated when EnvParams.use_planner)
+    plan: jnp.ndarray             # (PLAN_STEPS, 7) joint waypoints
+    plan_ok: jnp.ndarray          # bool
+    plan_step: jnp.ndarray        # int32 progress along the plan
 
 
 @struct.dataclass
@@ -134,19 +163,86 @@ class PandaGraspEnv:
     def _camera_pose_inv(self, hand):
         return se3_inverse(hand @ T_CAM)
 
+    def _clutter_spheres_world(self, state: EnvState):
+        """(K*NS, 4) world-frame clutter sphere sets (radius 0 = pad)."""
+        sph = self.lib.spheres[state.clutter_idx]          # (K, NS, 4)
+        rot = jax.vmap(quat_to_mat)(state.clutter_quat)    # (K, 3, 3)
+        centers = (
+            jnp.einsum("kij,knj->kni", rot, sph[..., :3])
+            + state.clutter_pos[:, None, :]
+        )
+        return jnp.concatenate([centers, sph[..., 3:]], -1).reshape(-1, 4)
+
+    def _clutter_surface_world(self, state: EnvState):
+        """(K*NP, 3) world-frame clutter surface samples (occluders)."""
+        surf = self.lib.surface_points[state.clutter_idx]  # (K, NP, 3)
+        rot = jax.vmap(quat_to_mat)(state.clutter_quat)
+        pts = (
+            jnp.einsum("kij,knj->kni", rot, surf)
+            + state.clutter_pos[:, None, :]
+        )
+        return pts.reshape(-1, 3)
+
+    def _clutter_collision(self, state: EnvState, hand):
+        """True when any gripper box penetrates a clutter sphere -- the
+        collision event for obstacles (the reference terminates/fails on
+        robot-obstacle contact, reference: env/panda_scene.py:1078-1095)."""
+        p = self.p.physics
+        sph = self._clutter_spheres_world(state)  # (M, 4)
+        boxes = gripper_box_poses(hand, state.phys.arm.q[7],
+                                  state.phys.arm.q[8], p)
+        hes = (p.finger_half_extents, p.finger_half_extents,
+               p.palm_half_extents)
+        hit = jnp.asarray(False)
+        for pose, he in zip(boxes, hes):
+            local = (sph[:, :3] - pose[:3, 3]) @ pose[:3, :3]
+            out = jnp.maximum(jnp.abs(local) - jnp.asarray(he), 0.0)
+            d = jnp.linalg.norm(out, axis=-1) - sph[:, 3]
+            hit = hit | jnp.any((d < 0.0) & (sph[:, 3] > 0.0))
+        return hit
+
+    def _occluder_depth(self, state: EnvState, hand, cam_pose):
+        """Per-pixel z-depth of everything that can hide the target:
+        the table plane and the three gripper boxes, ray-cast
+        analytically (the reference's full-scene render + segmentation,
+        reference: env/panda_scene.py:414-436)."""
+        p = self.p
+        occ = plane_zdepth(p.camera, cam_pose, p.physics.table_z)
+        fhe = p.physics.finger_half_extents
+        phe = p.physics.palm_half_extents
+        boxes = gripper_box_poses(
+            hand, state.phys.arm.q[7], state.phys.arm.q[8], p.physics
+        )
+        for pose, he in zip(boxes, (fhe, fhe, phe)):
+            occ = jnp.minimum(occ, box_zdepth(p.camera, cam_pose, pose, he))
+        return occ
+
     # ------------------------------------------------------------------
     def _observe(self, state: EnvState, key) -> Tuple[EnvState, Observation]:
+        state, obs, _ = self._observe_impl(state, key)
+        return state, obs
+
+    def _observe_impl(self, state: EnvState, key):
+        """Returns (state, obs, vis_depth) where vis_depth is the
+        occlusion-culled target depth image reused by _termination."""
         p = self.p
         hand = self._hand(state)
         obj_pose = self._obj_pose(state.phys.obj)
         surf = self.lib.surface_points[state.obj_idx]  # (NP, 3)
         surf_w = surf @ obj_pose[:3, :3].T + obj_pose[:3, 3]
 
-        cam_inv = self._camera_pose_inv(hand)
-        pts_cam, pts_valid = visible_points(
-            p.camera, cam_inv, surf_w, max_points=p.new_points_per_step
-        )
         cam = hand @ T_CAM
+        cam_inv = self._camera_pose_inv(hand)
+        occ = self._occluder_depth(state, hand, cam)
+        if p.num_clutter:
+            cd = render_depth_points(
+                p.camera, cam_inv, self._clutter_surface_world(state)
+            )
+            occ = jnp.minimum(occ, jnp.where(cd > 0, cd, jnp.inf))
+        vis_depth = visible_target_depth(p.camera, cam_inv, surf_w, occ_depth=occ)
+        pts_cam, pts_valid = depth_to_points(
+            p.camera, vis_depth, max_points=p.new_points_per_step
+        )
         pts_w = pts_cam @ cam[:3, :3].T + cam[:3, 3]
 
         k1, k2 = jax.random.split(key)
@@ -164,7 +260,7 @@ class PandaGraspEnv:
                 jnp.sin(oi * jnp.array([1.7, 2.9, 4.3]) + jnp.array([0.0, 2.0, 4.0]))
             )
             image = render_rgbdm(
-                self.p.camera, cam_inv, surf_w, albedo
+                self.p.camera, cam_inv, surf_w, albedo, occ_depth=occ
             )
         else:
             image = jnp.zeros((5, 1, 1))
@@ -178,21 +274,50 @@ class PandaGraspEnv:
             goal_pose=pack_pose_rot_first(goal_rel),
             image=image,
         )
-        return state.replace(pc=pc), obs
+        return state.replace(pc=pc), obs, vis_depth
 
     # ------------------------------------------------------------------
     def sample_scene(self, key, obj_idx=None):
         """Randomize a scene (reference: env/panda_scene.py:995-1035,
-        777-827). Returns a Scene dict usable with `reset_scene`."""
+        777-827). Returns a Scene dict usable with `reset_scene`.
+
+        With num_clutter > 0 the target + K clutter objects land on
+        distinct cells of a jittered 3x3 grid -- deterministic minimum
+        separation with fully static shapes (the reference rejection-
+        samples pairwise distances, reference: :1008-1024)."""
         p = self.p
-        ks = jax.random.split(key, 8)
+        K = p.num_clutter
+        ks = jax.random.split(key, 12)
         if obj_idx is None:
             obj_idx = jax.random.randint(ks[0], (), 0, self.lib.num_objects)
         obj_idx = jnp.asarray(obj_idx, jnp.int32)
 
-        # object upright at a random tabletop pose
-        x = jax.random.uniform(ks[1], (), minval=p.spawn_x[0], maxval=p.spawn_x[1])
-        y = jax.random.uniform(ks[2], (), minval=p.spawn_y[0], maxval=p.spawn_y[1])
+        if K:
+            gx = jnp.linspace(p.clutter_grid_x[0], p.clutter_grid_x[1], 4)
+            gy = jnp.linspace(p.clutter_grid_y[0], p.clutter_grid_y[1], 4)
+            cx = (gx[:-1] + gx[1:]) / 2
+            cy = (gy[:-1] + gy[1:]) / 2
+            cells = jnp.stack(jnp.meshgrid(cx, cy, indexing="ij"), -1).reshape(-1, 2)
+            perm = jax.random.permutation(ks[1], cells.shape[0])
+            chosen = cells[perm[: K + 1]] + jax.random.uniform(
+                ks[2], (K + 1, 2), minval=-p.clutter_jitter, maxval=p.clutter_jitter
+            )
+            x, y = chosen[0, 0], chosen[0, 1]
+            clutter_idx = jax.random.randint(ks[8], (K,), 0, self.lib.num_objects)
+            c_yaw = jax.random.uniform(ks[9], (K,), minval=-jnp.pi, maxval=jnp.pi)
+            clutter_quat = jnp.stack(
+                [jnp.cos(c_yaw / 2), jnp.zeros(K), jnp.zeros(K), jnp.sin(c_yaw / 2)],
+                axis=-1,
+            )
+            clutter_pos = jnp.concatenate(
+                [chosen[1:], self.lib.rest_height[clutter_idx][:, None]], axis=-1
+            )
+        else:
+            x = jax.random.uniform(ks[1], (), minval=p.spawn_x[0], maxval=p.spawn_x[1])
+            y = jax.random.uniform(ks[2], (), minval=p.spawn_y[0], maxval=p.spawn_y[1])
+            clutter_idx = jnp.zeros((0,), jnp.int32)
+            clutter_quat = jnp.zeros((0, 4))
+            clutter_pos = jnp.zeros((0, 3))
         yaw = jax.random.uniform(ks[3], (), minval=-jnp.pi, maxval=jnp.pi)
         quat = jnp.array([jnp.cos(yaw / 2), 0.0, 0.0, jnp.sin(yaw / 2)])
         pos = jnp.stack([x, y, self.lib.rest_height[obj_idx] + 2e-3])
@@ -229,6 +354,9 @@ class PandaGraspEnv:
             "obj_quat": quat,
             "joints": q_init,
             "ik_ok": ik_ok,
+            "clutter_idx": clutter_idx,
+            "clutter_pos": clutter_pos,
+            "clutter_quat": clutter_quat,
         }
 
     def reset_scene(self, scene, key) -> Tuple[EnvState, Observation]:
@@ -254,6 +382,7 @@ class PandaGraspEnv:
             self.lib.inertia[obj_idx], self.base_pose, substeps=p.settle_substeps,
         )
 
+        K = p.num_clutter
         state = EnvState(
             phys=phys,
             pc=create_pc_state(p.pc_capacity),
@@ -265,8 +394,19 @@ class PandaGraspEnv:
             collided_before=jnp.asarray(False),
             done=jnp.asarray(False),
             valid_scene=jnp.asarray(True),
+            clutter_idx=scene.get("clutter_idx", jnp.zeros((K,), jnp.int32)),
+            clutter_pos=scene.get("clutter_pos", jnp.zeros((K, 3))),
+            clutter_quat=scene.get(
+                "clutter_quat",
+                jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1)),
+            ),
+            plan=jnp.tile(q[:7], (PLAN_STEPS, 1)),
+            plan_ok=jnp.asarray(True),
+            plan_step=jnp.asarray(0, jnp.int32),
         )
         state = self._update_goal(state)
+        if p.use_planner:
+            state = self.replan(state)
 
         obs_key = jax.random.fold_in(key, 17)
         state, obs = self._observe(state, obs_key)
@@ -280,6 +420,9 @@ class PandaGraspEnv:
         goal_w, _, grasp_found = nearest_grasp_goal(
             hand, self._obj_pose(state.phys.obj),
             self.lib.grasps[obj_idx], self.lib.grasp_valid[obj_idx],
+            clutter_spheres=(
+                self._clutter_spheres_world(state) if p.num_clutter else None
+            ),
         )
         # goal must be kinematically reachable, else the episode is
         # skipped -- the reference drops episodes whose planner fails
@@ -294,14 +437,30 @@ class PandaGraspEnv:
             & (obs.num_points > 50)
             & grasp_found
             & goal_reachable
+            & state.plan_ok
         )
         return state.replace(valid_scene=valid), obs
 
     def reset(self, key, obj_idx=None) -> Tuple[EnvState, Observation]:
-        """Randomized episode reset: sample a scene, then init from it."""
-        k_scene, k_init = jax.random.split(key)
-        scene = self.sample_scene(k_scene, obj_idx)
-        return self.reset_scene(scene, k_init)
+        """Randomized episode reset: sample a scene, then init from it.
+
+        Up to `reset_tries` scene candidates are evaluated and the first
+        valid one kept (the reference's retry loop,
+        reference: core/train_online.py:180-188, as masked selects)."""
+        tries = max(self.p.reset_tries, 1)
+        keys = jax.random.split(key, 2 * tries)
+        state, obs = None, None
+        for r in range(tries):
+            scene = self.sample_scene(keys[2 * r], obj_idx)
+            st, ob = self.reset_scene(scene, keys[2 * r + 1])
+            if state is None:
+                state, obs = st, ob
+            else:
+                keep_old = state.valid_scene
+                sel = lambda a, b: jnp.where(keep_old, a, b)
+                state = jax.tree_util.tree_map(sel, state, st)
+                obs = jax.tree_util.tree_map(sel, obs, ob)
+        return state, obs
 
     # ------------------------------------------------------------------
     def _update_goal(self, state: EnvState) -> EnvState:
@@ -309,9 +468,12 @@ class PandaGraspEnv:
         (reference: env/panda_scene.py:1280-1286)."""
         hand = self._hand(state)
         obj_pose = self._obj_pose(state.phys.obj)
+        clutter = (
+            self._clutter_spheres_world(state) if self.p.num_clutter else None
+        )
         goal_w, _, found = nearest_grasp_goal(
             hand, obj_pose, self.lib.grasps[state.obj_idx],
-            self.lib.grasp_valid[state.obj_idx],
+            self.lib.grasp_valid[state.obj_idx], clutter_spheres=clutter,
         )
         goal_obj = se3_inverse(obj_pose) @ goal_w
         keep_old = state.collided_before | ~found
@@ -344,8 +506,10 @@ class PandaGraspEnv:
             self.base_pose, substeps=substeps,
         )
         collided = phys.gripper_contact
+        state = state.replace(phys=phys)
+        if p.num_clutter:
+            collided = collided | self._clutter_collision(state, self._hand(state))
         return state.replace(
-            phys=phys,
             collided=collided,
             collided_before=state.collided_before | collided,
         )
@@ -371,21 +535,11 @@ class PandaGraspEnv:
         state = self._update_goal(state)
 
         k_obs = jax.random.fold_in(key, 1)
-        state, obs = self._observe(state, k_obs)
-
-        # depth image for the termination heuristic (target-masked)
-        hand = self._hand(state)
-        obj_pose = self._obj_pose(state.phys.obj)
-        surf_w = (
-            self.lib.surface_points[state.obj_idx] @ obj_pose[:3, :3].T
-            + obj_pose[:3, 3]
-        )
-        depth = render_depth_points(
-            self.p.camera, self._camera_pose_inv(hand), surf_w
-        )
-        done = self._termination(state, depth)
+        state, obs, vis_depth = self._observe_impl(state, k_obs)
+        done = self._termination(state, vis_depth)
         state = state.replace(
             env_step=state.env_step + 1,
+            plan_step=state.plan_step + 1,
             done=state.done | done,
         )
         reward = jnp.asarray(0.0)  # lift reward paid at retract
@@ -411,8 +565,13 @@ class PandaGraspEnv:
             substeps=substeps,
         )
         collided = phys.gripper_contact
+        states = states.replace(phys=phys)
+        if self.p.num_clutter:
+            hits = jax.vmap(
+                lambda s: self._clutter_collision(s, self._hand(s))
+            )(states)
+            collided = collided | hits
         return states.replace(
-            phys=phys,
             collided=collided,
             collided_before=states.collided_before | collided,
         )
@@ -439,23 +598,11 @@ class PandaGraspEnv:
             )
 
         obs_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-        states, obs = jax.vmap(self._observe)(states, obs_keys)
-
-        def depth_and_done(state):
-            hand = self._hand(state)
-            obj_pose = self._obj_pose(state.phys.obj)
-            surf_w = (
-                self.lib.surface_points[state.obj_idx] @ obj_pose[:3, :3].T
-                + obj_pose[:3, 3]
-            )
-            depth = render_depth_points(
-                self.p.camera, self._camera_pose_inv(hand), surf_w
-            )
-            return self._termination(state, depth)
-
-        done = jax.vmap(depth_and_done)(states)
+        states, obs, vis_depth = jax.vmap(self._observe_impl)(states, obs_keys)
+        done = jax.vmap(self._termination)(states, vis_depth)
         states = states.replace(
             env_step=states.env_step + 1,
+            plan_step=states.plan_step + 1,
             done=states.done | done,
         )
         reward = jnp.zeros(actions.shape[0])
@@ -480,7 +627,10 @@ class PandaGraspEnv:
         states = jax.vmap(self._update_goal)(states)
         obs_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
         states, obs = jax.vmap(self._observe)(states, obs_keys)
-        states = states.replace(env_step=states.env_step + 1)
+        states = states.replace(
+            env_step=states.env_step + 1,
+            plan_step=states.plan_step + 1,
+        )
         return states, obs
 
     def retract_batched(self, states: EnvState, keys):
@@ -547,10 +697,28 @@ class PandaGraspEnv:
         return state, reward
 
     # ------------------------------------------------------------------
+    def replan(self, state: EnvState) -> EnvState:
+        """(Re)compute the expert trajectory from the current joints to
+        the current grasp goal around the clutter (the reference replans
+        mid-episode for DAgger, reference: env/panda_scene.py:920-993)."""
+        spheres = self._clutter_spheres_world(state)
+        plan, ok = plan_to_goal(
+            state.phys.arm.q[:7], self._goal_world(state), spheres,
+            table_z=self.p.physics.table_z,
+        )
+        return state.replace(
+            plan=plan, plan_ok=ok, plan_step=jnp.asarray(0, jnp.int32)
+        )
+
     def expert_action(self, state: EnvState):
-        """Servo-expert action toward the current goal."""
+        """Expert action: plan-following (clutter/planner mode) or the
+        straight goal servo (single-object scenes)."""
+        if self.p.use_planner:
+            return plan_action(self._hand(state), state.plan, state.plan_step)
         return servo_expert_action(self._hand(state), self._goal_world(state))
 
     def expert_steps(self, state: EnvState):
+        if self.p.use_planner:
+            return jnp.asarray(float(PLAN_STEPS))
         rel = se3_inverse(self._hand(state)) @ self._goal_world(state)
         return expert_plan_length(rel, self.p.max_steps)

@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_FIELDS = ("obj_idx", "obj_pos", "obj_quat", "joints", "ik_ok")
+_FIELDS = ("obj_idx", "obj_pos", "obj_quat", "joints", "ik_ok",
+           "clutter_idx", "clutter_pos", "clutter_quat")
 
 
 def generate_scenes(env, key, num_scenes: int, oversample: int = 2) -> Dict:

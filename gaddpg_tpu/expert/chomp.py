@@ -1,0 +1,181 @@
+"""Batched CHOMP-style trajectory-optimizer expert.
+
+TPU-native replacement for the OMG `PlanningScene` expert
+(reference: env/panda_scene.py:881-993): joint-space waypoints optimized
+by fixed-iteration gradient descent on a smoothness + obstacle cost over
+the clutter sphere sets (the same sphere approximations the contact
+solver uses -- an SDF proxy, reference: setup_expert_scene combines
+per-obstacle SDFs at :897-917), with the OMG expert's standoff/insertion
+grasp structure (standoff_dist 0.08, reference: experiments/config.py:220)
+and joint-limit projection.
+
+Everything is static-shape and jit/vmap-friendly: `lax.scan` over a
+fixed number of descent iterations, fixed waypoint count, obstacle set
+padded to (NOBS, 4) with radius 0 padding. One `plan_to_goal` call per
+episode (and per DAgger replan) runs across the whole env batch.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gaddpg_tpu.geometry.rotations import mat_to_euler
+from gaddpg_tpu.geometry.se3 import se3_inverse
+from gaddpg_tpu.models.heads import TASK6D_HIGH
+from gaddpg_tpu.robot.ik import dls_ik, ik_from_seeds
+from gaddpg_tpu.robot.panda import JOINT_LOWER, JOINT_UPPER, fk_hand
+
+STANDOFF_DIST = 0.08     # reference: experiments/config.py:220
+APPROACH_STEPS = 16      # optimized waypoints to the standoff pose
+INSERT_STEPS = 4         # straight standoff -> grasp insertion
+PLAN_STEPS = APPROACH_STEPS + INSERT_STEPS
+
+# gripper-local probe points for the obstacle cost: wrist, palm sides,
+# finger spread, fingertip center, tip overshoot (hand frame). The
+# wrist-local geometry is what enters the clutter zone; upstream links
+# stay above the workspace at tabletop grasps.
+_PROBES = jnp.array(
+    [
+        [0.0, 0.0, 0.0],
+        [0.0, 0.055, 0.03],
+        [0.0, -0.055, 0.03],
+        [0.0, 0.045, 0.085],
+        [0.0, -0.045, 0.085],
+        [0.0, 0.0, 0.065],
+        [0.0, 0.0, 0.112],
+    ]
+)
+PROBE_RADIUS = 0.022     # effective thickness of the probed geometry
+
+
+def _smoothness_preconditioner():
+    """Inverse CHOMP metric M^-1, M = A^T A with A the second-difference
+    operator over the trajectory restricted to the free waypoints.
+
+    Preconditioning the descent with M^-1 is what makes CHOMP converge
+    in tens of iterations: plain gradient steps on the smoothness
+    objective are ill-conditioned (curvature ~||A||^2) and either crawl
+    or explode; M^-1 also propagates local obstacle gradients along the
+    whole trajectory. Constant for fixed APPROACH_STEPS -> precomputed.
+    """
+    import numpy as np
+
+    T = APPROACH_STEPS
+    m = T - 2
+    A = np.zeros((T - 2, T))
+    for t in range(T - 2):
+        A[t, t] = 1.0
+        A[t, t + 1] = -2.0
+        A[t, t + 2] = 1.0
+    A_free = A[:, 1:-1]  # columns of the free waypoints
+    M = A_free.T @ A_free + 1e-6 * np.eye(m)
+    return jnp.asarray(np.linalg.inv(M))
+
+
+_MINV = _smoothness_preconditioner()
+
+
+def _probe_world(q):
+    """(P, 3) world positions of the gripper probes at arm joints q (7,)."""
+    hand = fk_hand(q)
+    return _PROBES @ hand[:3, :3].T + hand[:3, 3]
+
+
+def obstacle_cost(q, spheres, margin: float = 0.01, table_z: float = 0.0):
+    """Hinge-squared penetration of the gripper probes into the obstacle
+    spheres (world (NOBS, 4), radius 0 = padding) and the table plane."""
+    p = _probe_world(q)  # (P, 3)
+    d = jnp.linalg.norm(p[:, None, :] - spheres[None, :, :3], axis=-1)
+    pen = jnp.maximum(spheres[None, :, 3] + PROBE_RADIUS + margin - d, 0.0)
+    pen = jnp.where(spheres[None, :, 3] > 0, pen, 0.0)
+    table_pen = jnp.maximum(table_z + PROBE_RADIUS * 0.5 - p[:, 2], 0.0)
+    return jnp.sum(pen**2) + jnp.sum(table_pen**2)
+
+
+def _traj_cost(free_q, q0, q_end, spheres, table_z, w_smooth, w_obs):
+    """free_q (M, 7) interior waypoints between fixed q0 and q_end."""
+    traj = jnp.concatenate([q0[None], free_q, q_end[None]], axis=0)
+    acc = traj[2:] - 2.0 * traj[1:-1] + traj[:-2]
+    smooth = jnp.sum(acc**2)
+    obs = jnp.sum(
+        jax.vmap(lambda q: obstacle_cost(q, spheres, table_z=table_z))(traj)
+    )
+    return w_smooth * smooth + w_obs * obs
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def plan_to_goal(q0, goal_pose, obstacle_spheres, iters: int = 30,
+                 table_z: float = 0.0, lr: float = 0.2,
+                 w_smooth: float = 1.0, w_obs: float = 50.0):
+    """Plan PLAN_STEPS joint waypoints from q0 (7,) to the grasp
+    `goal_pose` (4, 4 world) around `obstacle_spheres` (NOBS, 4 world,
+    radius 0 = padding).
+
+    Returns (plan (PLAN_STEPS, 7), ok). Mirrors `expert_plan`
+    (reference: env/panda_scene.py:920-993): trajectory optimization to
+    a standoff, then a straight insertion along the grasp approach.
+    """
+    standoff = goal_pose.at[:3, 3].add(-STANDOFF_DIST * goal_pose[:3, 2])
+    # IK seeded from q0 first: it lands on the joint-space branch nearest
+    # the start, keeping the interpolated trajectory local (multi-start
+    # alone can pick a far branch and the interp swings through the
+    # workspace); anchor-seed multi-start is the fallback.
+    q_near, perr_n, rerr_n = dls_ik(q0, standoff[:3, 3], standoff[:3, :3])
+    ok_near = (perr_n < 5e-3) & (rerr_n < 5e-2)
+    q_multi, ok_multi = ik_from_seeds(standoff[:3, 3], standoff[:3, :3])
+    q_stand = jnp.where(ok_near, q_near, q_multi)
+    ok_stand = ok_near | ok_multi
+    # seed the short insertion solve from the standoff solution
+    q_final, perr, rerr = dls_ik(
+        q_stand, goal_pose[:3, 3], goal_pose[:3, :3], iters=20
+    )
+    ok_final = (perr < 5e-3) & (rerr < 5e-2)
+
+    # phase 1: optimized approach q0 -> q_stand
+    alphas = jnp.linspace(0.0, 1.0, APPROACH_STEPS)[1:-1, None]  # (M, 1)
+    free0 = q0[None] * (1.0 - alphas) + q_stand[None] * alphas
+
+    grad_fn = jax.grad(_traj_cost)
+
+    def gd(free, _):
+        g = grad_fn(free, q0, q_stand, obstacle_spheres, table_z,
+                    w_smooth, w_obs)
+        free = free - lr * (_MINV @ g)  # CHOMP-preconditioned step
+        free = jnp.clip(free, JOINT_LOWER, JOINT_UPPER)
+        return free, None
+
+    free, _ = jax.lax.scan(gd, free0, None, length=iters)
+    approach = jnp.concatenate([q0[None], free, q_stand[None]], axis=0)
+
+    # phase 2: straight insertion (the reference servos straight in from
+    # the standoff; obstacles at the grasp site are the target itself)
+    betas = jnp.linspace(0.0, 1.0, INSERT_STEPS + 1)[1:, None]
+    insert = q_stand[None] * (1.0 - betas) + q_final[None] * betas
+
+    plan = jnp.concatenate([approach, insert], axis=0)
+
+    # residual clearance check on the optimized approach
+    res_obs = jnp.sum(
+        jax.vmap(lambda q: obstacle_cost(q, obstacle_spheres, margin=0.0,
+                                         table_z=table_z - 0.01))(approach)
+    )
+    ok = ok_stand & ok_final & (res_obs < 1e-5)
+    return plan, ok
+
+
+def plan_action(hand_pose, plan, step_idx):
+    """Task-space expert action tracking plan waypoint `step_idx + 1`.
+
+    The reference executes its joint plan by step index and converts
+    each waypoint to a cartesian delta against the *current* pose
+    (convert_action_from_joint_to_cartesian,
+    reference: env/panda_scene.py:1118-1139, core/train_online.py:255),
+    which self-corrects drift while keeping progress monotone.
+    """
+    nxt = jnp.minimum(step_idx + 1, plan.shape[0] - 1)
+    target = fk_hand(plan[nxt])
+    rel = se3_inverse(hand_pose) @ target
+    action = jnp.concatenate([rel[:3, 3], mat_to_euler(rel[:3, :3])])
+    high = jnp.asarray(TASK6D_HIGH)
+    return jnp.clip(action, -high, high)

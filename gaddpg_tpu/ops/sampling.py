@@ -15,14 +15,21 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from gaddpg_tpu.ops import pallas_kernels
+
 
 @partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sampling(xyz, npoint: int, valid=None):
     """Indices of `npoint` FPS-selected points from xyz (N, 3).
 
     Starts from index 0 like the CUDA kernel. `valid` (N,) optionally
-    masks padding points out of selection.
+    masks padding points out of selection. On TPU backends the Pallas
+    kernel serves the unmasked path (see pallas_kernels.pallas_enabled).
     """
+    if valid is None and pallas_kernels.pallas_enabled():
+        # indices carry no tangents; stop_gradient keeps pallas_call out
+        # of the autodiff (JVP of pallas_call is unsupported)
+        return pallas_kernels.fps_pallas(jax.lax.stop_gradient(xyz), npoint)
     n = xyz.shape[0]
     big = jnp.asarray(1e10, xyz.dtype)
     invalid_penalty = jnp.zeros((n,), xyz.dtype) if valid is None else jnp.where(valid, 0.0, -big)
@@ -41,7 +48,7 @@ def furthest_point_sampling(xyz, npoint: int, valid=None):
     return idxs
 
 
-@partial(jax.jit, static_argnames=("nsample",))
+@partial(jax.jit, static_argnames=("radius", "nsample"))
 def ball_query(centers, xyz, radius: float, nsample: int, valid=None):
     """(S, nsample) indices of points within `radius` of each center.
 
@@ -49,6 +56,11 @@ def ball_query(centers, xyz, radius: float, nsample: int, valid=None):
     the reference CUDA ball_query. Out-of-radius rows (no hits) return
     the nearest point so downstream grouping never reads garbage.
     """
+    if valid is None and pallas_kernels.pallas_enabled():
+        return pallas_kernels.ball_query_pallas(
+            jax.lax.stop_gradient(centers), jax.lax.stop_gradient(xyz),
+            radius, nsample,
+        )
     n = xyz.shape[0]
     d2 = jnp.sum((centers[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)  # (S, N)
     in_ball = d2 <= radius * radius
@@ -62,10 +74,12 @@ def ball_query(centers, xyz, radius: float, nsample: int, valid=None):
     picked_valid = (-neg_key) < n
     if nsample > n:
         # fewer points than group slots (e.g. SA2 groups 128 of 32):
-        # cycle through the hits like the CUDA kernel's wraparound
-        reps = -(-nsample // n)
-        idx = jnp.tile(idx, (1, reps))[:, :nsample]
-        picked_valid = jnp.tile(picked_valid, (1, reps))[:, :nsample]
+        # the CUDA kernel pre-fills the row with the first hit, so the
+        # overflow slots pad with it too (max-pool downstream is
+        # invariant to duplicates)
+        pad = ((0, 0), (0, nsample - n))
+        idx = jnp.pad(idx, pad)
+        picked_valid = jnp.pad(picked_valid, pad)  # False -> first-hit pad
     # pad with the first picked entry (a valid hit if any exist)
     first = idx[:, :1]
     idx = jnp.where(picked_valid, idx, first)

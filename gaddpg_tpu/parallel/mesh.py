@@ -8,9 +8,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
-    """1-D mesh over the first n devices (all by default)."""
+    """1-D mesh over the first n devices (all by default).
+
+    Raises if fewer than `n_devices` exist -- silently truncating would
+    hand back a smaller mesh and hide a misconfigured topology.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} JAX device(s) are visible "
+                f"(platform={devs[0].platform if devs else 'none'}); set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                "with JAX_PLATFORMS=cpu for a virtual mesh"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
 

@@ -129,9 +129,9 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
     # re-executes per substep)
     fn_clamp = jnp.concatenate(
         [
-            jnp.full((B, ns), jnp.inf),
+            jnp.full((B, ns), p.table_max_force),
             jnp.full((B, 2 * ns), 2.0 * p.finger_force),
-            jnp.full((B, ns), jnp.inf),
+            jnp.full((B, ns), p.palm_max_force),
         ],
         axis=1,
     )
@@ -229,14 +229,26 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         fn = jnp.minimum(jnp.maximum(fn, 0.0) * active, fn_clamp)
 
         f_n = fn[..., None] * nrm
-        total_f = jnp.sum(f_n, axis=1)
-        total_f = total_f.at[:, 2].add(p.gravity * mass)
+        f_contact = jnp.sum(f_n, axis=1)
         torque = jnp.sum(jnp.cross(r_c, f_n), axis=1)
+        # contact dv/dw cap (see PhysicsParams.contact_dv_max): penalty
+        # contact resists/supports but never flings; scale the whole
+        # contact wrench so force/torque stay consistent
+        w_body = quat_rotate(q_c, angvel)
+        tau_b0 = quat_rotate(q_c, torque)
+        dv_n = p.dt * jnp.linalg.norm(f_contact, axis=-1) / mass
+        dw_n = p.dt * jnp.linalg.norm(tau_b0 * inv_inertia, axis=-1)
+        cap = jnp.minimum(
+            p.contact_dv_max / jnp.maximum(dv_n, 1e-9),
+            p.contact_dw_max / jnp.maximum(dw_n, 1e-9),
+        )
+        scale = jnp.minimum(1.0, cap)[:, None]
+        total_f = f_contact * scale
+        total_f = total_f.at[:, 2].add(p.gravity * mass)
 
         # gyroscopic term + I^-1 application via body frame
-        w_body = quat_rotate(q_c, angvel)
         gyro_b = jnp.cross(w_body, inertia * w_body)
-        tau_b = quat_rotate(q_c, torque) - gyro_b
+        tau_b = tau_b0 * scale - gyro_b
         v_pred = linvel + p.dt * total_f / mass_c
         w_pred = angvel + p.dt * quat_rotate(quat, tau_b * inv_inertia)
 
@@ -271,8 +283,10 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
             j2 = jnp.clip(vt_along / (w_t * share), 0.0, budget) * have
             v_out, w_out = apply_impulse(v_out, w_out, j2)
             budget = budget - j2
-        linvel = jnp.clip(v_out / (1.0 + p.linear_damping * p.dt), -10, 10)
-        angvel = jnp.clip(w_out / (1.0 + p.angular_damping * p.dt), -50, 50)
+        linvel = jnp.clip(v_out / (1.0 + p.linear_damping * p.dt),
+                          -p.max_linvel, p.max_linvel)
+        angvel = jnp.clip(w_out / (1.0 + p.angular_damping * p.dt),
+                          -p.max_angvel, p.max_angvel)
         pos = pos + p.dt * linvel
         w_q = jnp.concatenate([jnp.zeros((B, 1)), angvel], axis=-1)
         quat = quat_normalize(quat + 0.5 * p.dt * quat_mul(w_q, quat))

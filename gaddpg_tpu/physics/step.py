@@ -41,6 +41,16 @@ def _finger_box_pose(hand, side, q_f, p: PhysicsParams):
     return hand @ t
 
 
+def gripper_box_poses(hand, q_l, q_r, p: PhysicsParams):
+    """World poses of the three gripper collision boxes (left finger,
+    right finger, palm) -- shared by contact resolution and the
+    camera's analytic occluders."""
+    pose_l = _finger_box_pose(hand, +1.0, q_l, p)
+    pose_r = _finger_box_pose(hand, -1.0, q_r, p)
+    palm = hand @ jnp.eye(4).at[:3, 3].set(jnp.asarray(p.palm_center))
+    return pose_l, pose_r, palm
+
+
 def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
                     inertia_diag, base_pose):
     """One 1 ms substep for one env. All args env-local; vmap outside."""
@@ -77,13 +87,15 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
     palm_pose = hand @ jnp.eye(4).at[:3, 3].set(jnp.asarray(p.palm_center))
 
     fhe = jnp.asarray(p.finger_half_extents)
-    c_table = sphere_plane_contacts(centers, radii, p.table_z)
+    c_table = sphere_plane_contacts(centers, radii, p.table_z,
+                                    max_force=p.table_max_force)
     c_l = sphere_box_contacts(centers, radii, pose_l, fhe, box_vel,
                               max_force=2.0 * p.finger_force)
     c_r = sphere_box_contacts(centers, radii, pose_r, fhe, box_vel,
                               max_force=2.0 * p.finger_force)
     c_palm = sphere_box_contacts(centers, radii, palm_pose,
-                                 jnp.asarray(p.palm_half_extents), box_vel)
+                                 jnp.asarray(p.palm_half_extents), box_vel,
+                                 max_force=p.palm_max_force)
     contacts = concat_contacts(c_table, c_l, c_r, c_palm)
     ns = sphere_set.shape[0]
     n_active = jnp.sum(contacts.pen > 0)
@@ -98,8 +110,19 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
     fn = normal_forces(contacts, v_pts, p.contact_stiffness, damp_cap)
 
     f_normal = fn[:, None] * contacts.normal
-    total_f = jnp.sum(f_normal, axis=0) + jnp.array([0.0, 0.0, p.gravity * mass])
+    f_contact = jnp.sum(f_normal, axis=0)
     torque = jnp.sum(jnp.cross(r_pts, f_normal), axis=0)
+    # contact dv/dw cap (see PhysicsParams.contact_dv_max): scale force
+    # and torque together so the contact wrench stays consistent
+    dv_n = p.dt * jnp.linalg.norm(f_contact) / mass
+    scale = jnp.minimum(1.0, p.contact_dv_max / jnp.maximum(dv_n, 1e-9))
+    dw_n = p.dt * jnp.linalg.norm(inv_iw @ torque)
+    scale = jnp.minimum(
+        scale, p.contact_dw_max / jnp.maximum(dw_n, 1e-9)
+    )
+    f_contact = f_contact * scale
+    torque = torque * scale
+    total_f = f_contact + jnp.array([0.0, 0.0, p.gravity * mass])
 
     gyro = jnp.cross(obj.angvel, (r_obj @ jnp.diag(inertia_diag) @ r_obj.T) @ obj.angvel)
     v_pred = obj.linvel + p.dt * total_f / mass
@@ -123,8 +146,8 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
     )
     linvel = v_out / (1.0 + p.linear_damping * p.dt)
     angvel = w_out / (1.0 + p.angular_damping * p.dt)
-    linvel = jnp.clip(linvel, -10.0, 10.0)
-    angvel = jnp.clip(angvel, -50.0, 50.0)
+    linvel = jnp.clip(linvel, -p.max_linvel, p.max_linvel)
+    angvel = jnp.clip(angvel, -p.max_angvel, p.max_angvel)
     pos = obj.pos + p.dt * linvel
     quat = quat_integrate(obj.quat, angvel, p.dt)
 

@@ -39,6 +39,25 @@ class PhysicsParams:
     finger_kp: float = 6000.0           # servo spring (N/m)
     finger_damping: float = 150.0       # servo damping (N s/m)
 
+    # contact force caps: the position-servoed gripper can deepen
+    # penetration without limit, and an uncapped penalty spring then
+    # releases that stored energy as an ejection (objects at z = tens of
+    # meters). Caps make deep contact plastic instead of explosive.
+    palm_max_force: float = 100.0       # N (4x finger squeeze)
+    table_max_force: float = 400.0      # N
+    # per-substep cap on the contact-driven velocity/angular-velocity
+    # change: penalty springs may resist and support but never fling --
+    # the position-servoed arm is an infinite energy source, and without
+    # this cap a deep squeeze releases as an ejection. 0.1 m/s per 2 ms
+    # substep = 50 m/s^2 sustained, far above any legitimate contact
+    # acceleration in a tabletop grasp and far below launch rates.
+    contact_dv_max: float = 0.10        # m/s per substep
+    contact_dw_max: float = 0.60        # rad/s per substep
+    # hard physical ceilings (hand moves <~0.5 m/s; free fall from the
+    # workspace tops out ~3 m/s)
+    max_linvel: float = 3.0             # m/s
+    max_angvel: float = 25.0            # rad/s
+
     # gripper collision proxies, hand frame
     palm_center: tuple = (0.0, 0.0, 0.033)
     palm_half_extents: tuple = (0.031, 0.10, 0.028)

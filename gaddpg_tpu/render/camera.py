@@ -1,10 +1,20 @@
-"""Point-splat depth camera.
+"""Point-splat depth camera with analytic occluders.
 
 Camera model matches the reference wrist camera: 90-degree FOV, square
 112x112 image, near 0.035 / far 2.0 (reference: env/panda_scene.py:838-847).
 Convention: +z optical axis forward, +x right, +y down (pinhole); the
 hand->camera extrinsic comes from the URDF camera joint
 (gaddpg_tpu.robot.panda.T_CAMERA).
+
+Occlusion model: the reference renders the full scene (arm, table, all
+objects) and segments the target (reference: env/panda_scene.py:414-436),
+so target points hidden behind the gripper or table never reach the
+policy. Here the target is point-splat z-buffered while the table plane
+and the three gripper boxes are ray-cast *analytically* per pixel
+(`plane_zdepth`/`box_zdepth`): exact, hole-free, and pure elementwise
+math -- a far better TPU mapping than splatting occluder meshes.
+Additional occluders with real geometry (clutter objects) splat into
+the same buffer via `occ_points`.
 """
 
 import dataclasses
@@ -57,9 +67,56 @@ def render_depth_points(cam: CameraParams, cam_pose_inv, points_world, valid=Non
     return depth.reshape(h, w)
 
 
+def _pixel_dirs(cam: CameraParams):
+    """Camera-frame ray directions (H*W, 3) with z normalized to 1, so the
+    ray parameter t *is* the pinhole z-depth."""
+    h, w = cam.height, cam.width
+    f = cam.focal
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0) / f
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0) / f
+    uu, vv = jnp.meshgrid(u, v)  # (H, W)
+    return jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1).reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def plane_zdepth(cam: CameraParams, cam_pose, z_plane: float = 0.0):
+    """Per-pixel z-depth of ray intersection with the world plane
+    z == z_plane; +inf where the ray misses (exact table occlusion).
+
+    cam_pose: (4, 4) camera->world transform.
+    """
+    dirs_w = _pixel_dirs(cam) @ cam_pose[:3, :3].T  # (HW, 3)
+    o_z = cam_pose[2, 3]
+    d_z = dirs_w[:, 2]
+    t = (z_plane - o_z) / jnp.where(jnp.abs(d_z) > 1e-8, d_z, 1e-8)
+    t = jnp.where((t > cam.near) & (t < cam.far) & (jnp.abs(d_z) > 1e-8), t, jnp.inf)
+    return t.reshape(cam.height, cam.width)
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def box_zdepth(cam: CameraParams, cam_pose, box_pose, half_extents):
+    """Per-pixel z-depth of ray intersection with an oriented box (slab
+    test); +inf where the ray misses. Used for the gripper's palm and
+    finger boxes, the occluders that matter most for a wrist camera.
+    """
+    dirs_w = _pixel_dirs(cam) @ cam_pose[:3, :3].T
+    r = box_pose[:3, :3]
+    o_b = r.T @ (cam_pose[:3, 3] - box_pose[:3, 3])  # ray origin, box frame
+    d_b = dirs_w @ r  # (HW, 3) directions in box frame
+    he = jnp.asarray(half_extents)
+    d_safe = jnp.where(jnp.abs(d_b) > 1e-8, d_b, 1e-8)
+    t1 = (-he - o_b) / d_safe
+    t2 = (he - o_b) / d_safe
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, cam.near)) & (tmin < cam.far)
+    t = jnp.where(hit, jnp.maximum(tmin, cam.near), jnp.inf)
+    return t.reshape(cam.height, cam.width)
+
+
 @partial(jax.jit, static_argnames=("cam",))
 def render_rgbdm(cam: CameraParams, cam_pose_inv, points_world, albedo,
-                 valid=None):
+                 valid=None, occ_depth=None):
     """RGBDM image (5, H, W) from target surface points.
 
     Channel layout matches the reference's processed image state
@@ -70,23 +127,55 @@ def render_rgbdm(cam: CameraParams, cam_pose_inv, points_world, albedo,
     the flagship policy is point-cloud-based (use_image=False in every
     reference config), so image observations are provided for the
     ResNet variant's input contract, not photometric fidelity.
+
+    `occ_depth` (H, W, +inf = clear) carries scene occluders (table,
+    gripper, clutter): pixels where an occluder is nearer than the
+    target become background in the mask and show the occluder's depth,
+    like the reference's full-scene render + target segmentation
+    (reference: env/panda_scene.py:414-436).
     """
     h, w = cam.height, cam.width
+    depth_t = render_depth_points(cam, cam_pose_inv, points_world, valid)
+    occ = jnp.full((h, w), jnp.inf) if occ_depth is None else occ_depth
+    t_hit = depth_t > 0
+    t_vis = t_hit & (depth_t <= occ + OCCLUSION_EPS)
+    scene = jnp.minimum(jnp.where(t_hit, depth_t, jnp.inf), occ)
+    hit = jnp.isfinite(scene)
+    scene = jnp.where(hit, scene, 0.0)
+    shade = jnp.where(hit, 1.0 / (1.0 + 2.0 * scene), 0.0)
+    color = jnp.where(t_vis[None], albedo[:, None, None], 0.5)  # occluders gray
+    rgb = color * shade[None]
+    mask = jnp.where(t_vis, 0.0, 1.0)
+    return jnp.concatenate([rgb, scene[None], mask[None]], axis=0)
+
+
+# a target point touching an occluder surface (finger pad on the object)
+# sits numerically *on* it; keep such points visible
+OCCLUSION_EPS = 2e-3
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def visible_target_depth(cam: CameraParams, cam_pose_inv, points_world,
+                         valid=None, occ_depth=None):
+    """Target depth image with occluded pixels zeroed.
+
+    This is the analogue of the reference's target-masked depth (depth
+    where mask == target, reference: core/utils.py:350,454-460): a
+    target pixel survives only if no occluder is strictly nearer.
+    """
     depth = render_depth_points(cam, cam_pose_inv, points_world, valid)
-    hit = depth > 0
-    shade = jnp.where(hit, 1.0 / (1.0 + 2.0 * depth), 0.0)
-    rgb = albedo[:, None, None] * shade[None]
-    mask = jnp.where(hit, 0.0, 1.0)
-    return jnp.concatenate([rgb, depth[None], mask[None]], axis=0)
+    if occ_depth is not None:
+        depth = jnp.where(depth <= occ_depth + OCCLUSION_EPS, depth, 0.0)
+    return depth
 
 
 @partial(jax.jit, static_argnames=("cam", "max_points"))
 def visible_points(cam: CameraParams, cam_pose_inv, points_world, valid=None,
-                   max_points: int = 512):
+                   max_points: int = 512, occ_depth=None):
     """Backprojected visible-surface samples, camera frame.
 
-    Renders the depth image and backprojects pixel centers -- the same
-    pipeline as `backproject_camera_target`
+    Renders the occlusion-culled target depth image and backprojects
+    pixel centers -- the same pipeline as `backproject_camera_target`
     (reference: core/utils.py:454-472) minus the OpenGL y-flip round
     trip (we stay in the pinhole frame end to end).
 
@@ -96,8 +185,16 @@ def visible_points(cam: CameraParams, cam_pose_inv, points_world, valid=None,
 
     Returns (pts (max_points, 3) camera frame, valid mask (max_points,)).
     """
+    depth = visible_target_depth(cam, cam_pose_inv, points_world, valid, occ_depth)
+    return depth_to_points(cam, depth, max_points)
+
+
+@partial(jax.jit, static_argnames=("cam", "max_points"))
+def depth_to_points(cam: CameraParams, depth, max_points: int = 512):
+    """Backproject the nonzero pixels of a depth image (H, W) to
+    camera-frame points; prefix-sum compaction into max_points slots."""
     h, w = cam.height, cam.width
-    depth = render_depth_points(cam, cam_pose_inv, points_world, valid).reshape(-1)
+    depth = depth.reshape(-1)
     hit = depth > 0
     slot = jnp.cumsum(hit) - 1  # hit pixel k -> slot k
     slot = jnp.where(hit & (slot < max_points), slot, max_points)  # OOB drop

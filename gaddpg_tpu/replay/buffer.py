@@ -30,7 +30,6 @@ from gaddpg_tpu.geometry.se3 import se3_inverse, pack_pose_rot_first
 class ReplayBuffer:
     # transition storage
     point_state: jnp.ndarray      # (S, 4, P) point cloud state
-    next_point_state_unused: jnp.ndarray  # placeholder (0,) -- next via indexing
     action: jnp.ndarray           # (S, 6)
     expert_action: jnp.ndarray    # (S, 6)
     reward: jnp.ndarray           # (S,)
@@ -46,13 +45,17 @@ class ReplayBuffer:
     target_idx: jnp.ndarray       # (S,)
     episode_map: jnp.ndarray      # (S,) uint32 index of episode end
     # cursors
-    cur_idx: jnp.ndarray          # scalar int32
-    is_full: jnp.ndarray          # scalar bool
+    cur_idx: jnp.ndarray          # scalar int32 next write position
+    filled: jnp.ndarray           # scalar int32 high-water mark of live data
     total_env_step: jnp.ndarray   # scalar int32
 
     @property
     def size(self) -> int:
         return self.point_state.shape[0]
+
+    @property
+    def is_full(self):
+        return self.filled >= self.size
 
 
 def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
@@ -64,7 +67,6 @@ def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
     f = lambda *shape: jnp.zeros(shape, dtype)
     return ReplayBuffer(
         point_state=jnp.zeros((size, 4, num_points), point_dtype or dtype),
-        next_point_state_unused=jnp.zeros((0,), dtype),
         action=f(size, 6),
         expert_action=f(size, 6),
         reward=f(size),
@@ -80,7 +82,7 @@ def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
         target_idx=f(size),
         episode_map=jnp.zeros((size,), jnp.uint32),
         cur_idx=jnp.asarray(0, jnp.int32),
-        is_full=jnp.asarray(False),
+        filled=jnp.asarray(0, jnp.int32),
         total_env_step=jnp.asarray(0, jnp.int32),
     )
 
@@ -100,6 +102,12 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
     Transitions are compacted to the front (valid-first) before the ring
     write, the discounted return is backfilled from the last valid
     reward, and episode_map points at the final valid slot.
+
+    Episodes never straddle the ring boundary: when the episode would
+    not fit in [cur_idx, size) the write restarts at 0, mirroring the
+    reference's buffer-start reset (reference: core/replay_memory.py:193-199).
+    Splitting would corrupt next-state indexing, which assumes ascending
+    contiguous episode slots.
     """
     T = valid.shape[0]
     size = buf.size
@@ -123,10 +131,10 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
     _, rets_rev = jax.lax.scan(scan_back, 0.0, jnp.arange(T - 1, -1, -1))
     returns = rets_rev[::-1]
 
-    # ring indices; invalid slots write out-of-bounds (dropped)
-    idx = (buf.cur_idx + pos) % size
-    idx = jnp.where(is_live, idx, size)  # OOB -> dropped by scatter
-    end_idx = (buf.cur_idx + n_valid - 1) % size
+    # ring indices; restart at 0 instead of splitting across the wrap
+    start = jnp.where(buf.cur_idx + n_valid > size, 0, buf.cur_idx)
+    idx = jnp.where(is_live, start + pos, size)  # OOB -> dropped by scatter
+    end_idx = start + n_valid - 1
 
     updates = {k: ep[k] for k in _EP_FIELDS}
     updates["returns"] = returns
@@ -140,12 +148,11 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
         end_idx.astype(jnp.uint32), mode="drop"
     )
 
-    new_cur = buf.cur_idx + n_valid
-    wrapped = new_cur >= size
+    new_cur = start + n_valid
     return buf.replace(
         **new_fields,
-        cur_idx=jnp.where(wrapped, new_cur % size, new_cur),
-        is_full=buf.is_full | wrapped,
+        cur_idx=new_cur,
+        filled=jnp.maximum(buf.filled, new_cur),
         total_env_step=buf.total_env_step + n_valid,
     )
 
@@ -163,7 +170,8 @@ def add_episodes(buf: ReplayBuffer, episodes: Dict[str, jnp.ndarray],
 
 
 def upper_idx(buf: ReplayBuffer):
-    return jnp.where(buf.is_full, buf.size, jnp.maximum(buf.cur_idx, 1))
+    """Exclusive upper bound of live data (high-water mark)."""
+    return jnp.maximum(buf.filled, 1)
 
 
 @partial(jax.jit, static_argnames=("batch_size", "episode_max_len", "onpolicy_goal"))

@@ -26,9 +26,10 @@ def save_npz(buf: ReplayBuffer, path: str, trim: bool = True):
     (the reference dumps full preallocated arrays, which makes mostly
     empty multi-GB files; the loader accepts either)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    n = buf.size if (not trim or bool(buf.is_full)) else max(int(buf.cur_idx), 1)
+    n = buf.size if not trim else max(int(buf.filled), 1)
     save = {k: np.asarray(getattr(buf, k))[:n] for k in _SAVE_KEYS}
     save["is_full"] = bool(buf.is_full)
+    save["filled"] = int(buf.filled)
     save["cur_idx"] = int(buf.cur_idx)
     save["total_env_step"] = int(buf.total_env_step)
     np.savez(path, **save)
@@ -66,9 +67,15 @@ def load_npz(path: str, buffer_size: Optional[int] = None,
         upd[k] = jnp.asarray(tgt, dtype=getattr(buf, k).dtype)
 
     cur = int(data["cur_idx"]) if "cur_idx" in data else n
+    if "filled" in data:
+        filled = int(data["filled"])
+    elif bool(data.get("is_full", False)):
+        filled = size
+    else:
+        filled = cur
     return buf.replace(
         **upd,
-        cur_idx=jnp.asarray(min(cur, size) % max(size, 1), jnp.int32),
-        is_full=jnp.asarray(bool(data.get("is_full", False)) or cur >= size),
+        cur_idx=jnp.asarray(min(cur, size), jnp.int32),
+        filled=jnp.asarray(min(filled, size), jnp.int32),
         total_env_step=jnp.asarray(int(data.get("total_env_step", n)), jnp.int32),
     )

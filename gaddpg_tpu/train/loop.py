@@ -108,17 +108,37 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_iter(self):
         """K agent updates from the replay
-        (reference: core/trainer.py:202-293)."""
+        (reference: core/trainer.py:202-293).
+
+        With an on-policy buffer, each update batch mixes
+        int(batch_size * online_buffer_ratio) of the agent's own rollouts
+        into the expert batch (reference: core/trainer.py:214-225).
+        """
         cfg = self.cfg
         if int(replay.upper_idx(self.buffer)) < cfg.batch_size:
             return {}
+        n_on = 0
+        if self.online_buffer is not None and cfg.online_buffer_ratio > 0:
+            n_on = int(cfg.batch_size * cfg.online_buffer_ratio)
+            if int(replay.upper_idx(self.online_buffer)) < n_on:
+                n_on = 0
+        ep_len = min(cfg.max_steps, 8)
         last = {}
         for _ in range(cfg.updates_per_iter):
             batch = replay.sample(
                 self.buffer, self._next_key(), cfg.batch_size,
-                episode_max_len=min(cfg.max_steps, 8),
+                episode_max_len=ep_len,
                 onpolicy_goal=cfg.self_supervision,
             )
+            if n_on:
+                on = replay.sample(
+                    self.online_buffer, self._next_key(), n_on,
+                    episode_max_len=ep_len,
+                    onpolicy_goal=cfg.self_supervision,
+                )
+                batch = {
+                    k: jnp.concatenate([batch[k], on[k]], axis=0) for k in batch
+                }
             self.agent_state, metrics = self.update(
                 self.agent_state, batch, self._next_key()
             )

@@ -79,16 +79,10 @@ class RolloutWorker:
 
         def step_fn(carry, t):
             states, obs, done, key = carry
-            key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
-
-            expert_a = jax.vmap(env.expert_action)(states)
-            remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
-            if expert_only:
-                policy_a = expert_a
-            else:
-                policy_a, _ = self.select_action(
-                    agent_state, obs.point_state, remain, k1, noise_scale, True
-                )
+            # extra k_step subkey: deriving the env step keys from the
+            # carried key would alias them with next iteration's k1..k5
+            # (threefry splits are prefix-consistent across counts)
+            key, k1, k2, k3, k4, k5, k_step = jax.random.split(key, 7)
 
             t_f = t.astype(jnp.float32)
             # the reference caps DAgger at expert_traj_length-8 with fixed
@@ -101,6 +95,21 @@ class RolloutWorker:
                 & (t_f < jnp.minimum(cfg.dagger_max_step, plan_len + 2.0))
                 & (jax.random.uniform(k2, (n,)) < cfg.dagger_ratio)
             )
+            if cfg.dagger and env.p.use_planner:
+                # trajectory-optimizer expert: DAgger relabels replan from
+                # the policy's current state (reference replans with the
+                # remaining steps, core/train_online.py:246-251)
+                replanned = jax.vmap(env.replan)(states)
+                states = _tree_where(dagger & ~done, replanned, states)
+
+            expert_a = jax.vmap(env.expert_action)(states)
+            remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
+            if expert_only:
+                policy_a = expert_a
+            else:
+                policy_a, _ = self.select_action(
+                    agent_state, obs.point_state, remain, k1, noise_scale, True
+                )
             dart = (
                 jnp.asarray(cfg.dart)
                 & ~explore_env
@@ -124,7 +133,7 @@ class RolloutWorker:
             )
             action = jnp.where(dart[:, None], perturb_a, action)
 
-            step_keys = jax.random.split(key, n)
+            step_keys = jax.random.split(k_step, n)
             new_states, new_obs, _, new_done, info = env.step_batched(
                 states, action, step_keys,
                 requery_goal=explore_env & ~dagger,
@@ -214,12 +223,12 @@ class RolloutWorker:
 
         def step_fn(carry, t):
             states, obs, done, key = carry
-            key, k1 = jax.random.split(key)
+            key, k1, k_step = jax.random.split(key, 3)
             remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
             action, _ = self.select_action(
                 agent_state, obs.point_state, remain, k1, 0.0, False
             )
-            step_keys = jax.random.split(key, n)
+            step_keys = jax.random.split(k_step, n)
             new_states, new_obs, _, new_done, _ = env.step_batched(
                 states, action, step_keys
             )

@@ -111,7 +111,9 @@ void voxel_occupancy(const float* tris, int n_tri, const float* lo,
       }
       std::sort(ts.begin(), ts.end());
       for (int iz = 0; iz < res; ++iz) {
-        double z = lo[2] + (iz + 0.5) * dz + 1.0;  // ray param of cell center
+        // ray param of the cell center: o.z == lo[2] - 1.0, so
+        // t = cell_z - o.z = (iz + 0.5) * dz + 1.0
+        double z = (iz + 0.5) * dz + 1.0;
         int crossings = 0;
         for (double th : ts)
           if (th < z) ++crossings;

@@ -5,7 +5,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaddpg_tpu.envs import EnvParams, PandaGraspEnv, box_asset
-from gaddpg_tpu.render.camera import CameraParams, render_depth_points, visible_points
+from gaddpg_tpu.render.camera import (
+    CameraParams,
+    box_zdepth,
+    plane_zdepth,
+    render_depth_points,
+    render_rgbdm,
+    visible_points,
+)
 from gaddpg_tpu.render.pointcloud import (
     accumulate_points,
     build_point_state,
@@ -51,6 +58,70 @@ class TestCamera:
         pts = jnp.array([[0.0, 0.0, -0.5], [0.1, 0.0, -1.0]])
         depth = render_depth_points(cam, jnp.eye(4), pts)
         assert float(depth.sum()) == 0.0
+
+
+class TestOcclusion:
+    """Occlusion-correct observations: a gripper box between camera and
+    target removes the hidden points (reference renders the full scene
+    and segments the target, reference: env/panda_scene.py:414-453)."""
+
+    def _target_plane(self, z=0.5, half=0.15, n=30):
+        g = jnp.linspace(-half, half, n)
+        pts = jnp.stack(jnp.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
+        return jnp.concatenate([pts, jnp.full((pts.shape[0], 1), z)], -1)
+
+    def test_box_zdepth_hits_frontal_box(self):
+        cam = CameraParams()
+        box = jnp.eye(4).at[2, 3].set(0.3)  # box center 0.3 m ahead
+        occ = box_zdepth(cam, jnp.eye(4), box, (0.05, 0.05, 0.02))
+        center = float(occ[cam.height // 2, cam.width // 2])
+        assert abs(center - 0.28) < 1e-3  # front face at 0.3 - 0.02
+        assert not np.isfinite(float(occ[0, 0]))  # corners miss
+
+    def test_box_occludes_target_points(self):
+        cam = CameraParams()
+        pts = self._target_plane(z=0.5)
+        full, v_full = visible_points(cam, jnp.eye(4), pts, max_points=1024)
+        box = jnp.eye(4).at[2, 3].set(0.3)
+        occ = box_zdepth(cam, jnp.eye(4), box, (0.05, 0.05, 0.02))
+        part, v_part = visible_points(
+            cam, jnp.eye(4), pts, max_points=1024, occ_depth=occ
+        )
+        n_full = int(v_full.sum())
+        n_part = int(v_part.sum())
+        assert n_part < n_full  # box hides the center of the plane
+        # every surviving point is outside the box's angular footprint
+        sel = np.asarray(part)[np.asarray(v_part)]
+        assert np.all(np.maximum(np.abs(sel[:, 0]), np.abs(sel[:, 1])) > 0.045)
+
+    def test_plane_zdepth_culls_through_table_view(self):
+        cam = CameraParams()
+        # camera below the table looking up (+z world) at a target above:
+        # the table plane z=0.4 (camera frame) must hide everything
+        pts = self._target_plane(z=0.5)
+        occ = plane_zdepth(cam, jnp.eye(4), 0.4)
+        _, v = visible_points(cam, jnp.eye(4), pts, max_points=512, occ_depth=occ)
+        assert int(v.sum()) == 0
+
+    def test_rgbdm_mask_respects_occlusion(self):
+        cam = CameraParams()
+        pts = self._target_plane(z=0.5)
+        box = jnp.eye(4).at[2, 3].set(0.3)
+        occ = box_zdepth(cam, jnp.eye(4), box, (0.05, 0.05, 0.02))
+        img = render_rgbdm(cam, jnp.eye(4), pts, jnp.ones(3), occ_depth=occ)
+        c = cam.height // 2
+        # center pixel: occluder -> background mask, occluder depth
+        assert float(img[4, c, c]) == 1.0
+        assert abs(float(img[3, c, c]) - 0.28) < 1e-3
+
+    def test_env_step_with_occlusion_smoke(self):
+        env = PandaGraspEnv(EnvParams(), box_asset(0.05, 0.05, 0.12))
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        assert bool(state.valid_scene) in (True, False)
+        state2, obs2, _, _, info = jax.jit(env.step)(
+            state, jnp.zeros(6), jax.random.PRNGKey(1)
+        )
+        assert int(info["point_num"]) > 0
 
 
 class TestAccumulation:

@@ -1,9 +1,15 @@
 """Pallas kernels (interpret mode) vs the XLA reference implementations."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from gaddpg_tpu.ops.pallas_kernels import ball_query_pallas, fps_pallas, use_pallas
+from gaddpg_tpu.ops.pallas_kernels import (
+    ball_query_pallas,
+    fps_pallas,
+    pallas_enabled,
+    use_pallas,
+)
 from gaddpg_tpu.ops.sampling import ball_query, furthest_point_sampling
 
 
@@ -34,6 +40,22 @@ class TestPallasParity:
         b = np.asarray(ball_query(centers, xyz, 0.005, 8))
         np.testing.assert_array_equal(a, b)
 
+    def test_ball_query_nsample_gt_n(self):
+        # SA2 shape: more group slots than points; pads with first hit
+        xyz = cloud(n=32, seed=3)
+        centers = xyz[:8]
+        a = np.asarray(ball_query_pallas(centers, xyz, 0.04, 128, interpret=True))
+        b = np.asarray(ball_query(centers, xyz, 0.04, 128))
+        np.testing.assert_array_equal(a, b)
+
+    def test_fps_vmap_parity(self):
+        # the model calls FPS vmapped over the batch
+        xyzs = jnp.stack([cloud(seed=s) for s in range(4)])
+        a = np.asarray(jax.vmap(lambda p: fps_pallas(p, 32, interpret=True))(xyzs))
+        b = np.asarray(jax.vmap(lambda p: furthest_point_sampling(p, 32))(xyzs))
+        np.testing.assert_array_equal(a, b)
+
     def test_dispatch_guard(self):
         # on the CPU test platform, compiled pallas must not be selected
-        assert use_pallas() in (True, False)  # callable without device init errors
+        assert use_pallas() is False
+        assert pallas_enabled() is False

@@ -55,13 +55,40 @@ class TestAddEpisode:
         # slot 3 untouched (zeros)
         assert float(jnp.abs(buf.point_state[3]).sum()) == 0.0
 
-    def test_ring_wraparound_sets_full(self):
+    def test_ring_wraparound_restarts_at_zero(self):
+        # episodes never straddle the wrap: the third 7-step episode
+        # doesn't fit in [14, 16) so it restarts at slot 0
         buf = replay.create_buffer(16, num_points=70)
         for i in range(3):
             ep, valid = make_episode(n_valid=7)
             buf = replay.add_episode(buf, ep, valid)
-        assert bool(buf.is_full)
-        assert int(buf.cur_idx) == 21 % 16
+        assert int(buf.cur_idx) == 7
+        assert int(buf.filled) == 14
+        # every live slot's episode is contiguous & ascending
+        np.testing.assert_array_equal(np.asarray(buf.episode_map[:7]), [6] * 7)
+        np.testing.assert_array_equal(np.asarray(buf.episode_map[7:14]), [13] * 7)
+
+    def test_wrap_preserves_next_state_indexing(self):
+        # regression: pre-wrap transitions must see idx+1, not the
+        # episode end, after the buffer cycles (ADVICE round-1 medium)
+        buf = replay.create_buffer(16, num_points=70)
+        for i in range(6):
+            ep, valid = make_episode(n_valid=7)
+            buf = replay.add_episode(buf, ep, valid)
+        batch = replay.sample(buf, jax.random.PRNGKey(3), 128, episode_max_len=2)
+        idx = np.asarray(batch["batch_idx"])
+        em = np.asarray(buf.episode_map)[idx].astype(np.int64)
+        nxt = np.minimum(em, idx + 1)
+        # successor slot is always within the same episode and ascending
+        assert np.all(nxt >= idx)
+        assert np.all(em >= idx)
+        got = np.asarray(batch["next_point_state"][:, 0, 0])
+        want = np.asarray(buf.point_state)[nxt, 0, 0]
+        np.testing.assert_allclose(got, want)
+        # non-terminal transitions advance exactly one timestep
+        term = np.asarray(buf.terminal)[idx] > 0
+        cur_t = np.asarray(buf.point_state)[idx, 0, 0]
+        np.testing.assert_allclose(got[~term], cur_t[~term] + 1)
 
     def test_batched_add(self):
         buf = replay.create_buffer(256, num_points=70)
