@@ -19,13 +19,15 @@ def make_bc_update(cfg: AgentConfig):
     feat, policy, _, _ = make_modules(cfg)
     txs = make_optimizers(cfg)
 
+    obs_key = "image_state" if cfg.use_image else "point_state"
+
     def update(state: AgentState, batch: Dict[str, Any], key) -> Tuple[AgentState, Dict]:
         m = _masks(batch)
 
         def loss_fn(policy_params, feat_params):
             policy_feat, stats = extract_feature(
                 feat, feat_params, state.feat_stats,
-                batch["point_state"], batch["time"],
+                batch[obs_key], batch["time"],
                 value=False, train=True, use_time=cfg.use_time,
             )
             mean, _, aux_pred = policy.apply({"params": policy_params}, policy_feat)

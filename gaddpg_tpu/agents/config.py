@@ -20,6 +20,11 @@ class AgentConfig:
     policy_aux: bool = True
     critic_aux: bool = True
     sa_channel_concat: bool = True
+    # RGBDM image observations through ResNet-18 instead of the point
+    # cloud through PointNet++ (reference: experiments/config.py:105
+    # use_image, core/networks.py:106-147)
+    use_image: bool = False
+    image_size: int = 112
 
     # optimization
     lr: float = 3e-4

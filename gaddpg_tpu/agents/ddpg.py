@@ -131,6 +131,11 @@ def make_ddpg_update(cfg: AgentConfig):
     feat, policy, critic, _ = make_modules(cfg)
     txs = make_optimizers(cfg)
 
+    # image mode trains on the RGBDM state instead of the point cloud
+    # (reference: core/agent.py:63-70 image_state branch)
+    obs_key = "image_state" if cfg.use_image else "point_state"
+    next_obs_key = "next_" + obs_key
+
     def update(state: AgentState, batch: Dict[str, Any], key) -> Tuple[AgentState, Dict]:
         m = _masks(batch)
         mix_value_ratio, mix_policy_ratio = mix_ratios(cfg, state.update_step)
@@ -142,7 +147,7 @@ def make_ddpg_update(cfg: AgentConfig):
         def critic_loss_fn(critic_params, feat_params):
             value_feat, stats1 = extract_feature(
                 feat, feat_params, state.feat_stats,
-                batch["point_state"], batch["time"],
+                batch[obs_key], batch["time"],
                 action=batch["action"], value=True, train=True,
                 use_time=cfg.use_time,
             )
@@ -152,7 +157,7 @@ def make_ddpg_update(cfg: AgentConfig):
             next_time = batch["time"] - 1.0
             next_feat, _ = extract_feature(
                 feat, jax.lax.stop_gradient(feat_params), state.feat_stats,
-                batch["next_point_state"], next_time,
+                batch[next_obs_key], next_time,
                 value=False, train=True, use_time=cfg.use_time,
             )
             next_mean, _, _ = policy.apply({"params": state.policy_target}, next_feat)
@@ -162,7 +167,7 @@ def make_ddpg_update(cfg: AgentConfig):
             next_action = next_action + nd
             next_vfeat, _ = extract_feature(
                 feat, jax.lax.stop_gradient(feat_params), state.feat_stats,
-                batch["next_point_state"], next_time,
+                batch[next_obs_key], next_time,
                 action=next_action, value=True, train=True, use_time=cfg.use_time,
             )
             q1t, q2t, _ = critic.apply({"params": state.critic_target}, next_vfeat)
@@ -209,7 +214,7 @@ def make_ddpg_update(cfg: AgentConfig):
         def policy_loss_fn(policy_params, feat_params_):
             policy_feat, stats2 = extract_feature(
                 feat, feat_params_, stats1,
-                batch["point_state"], batch["time"],
+                batch[obs_key], batch["time"],
                 value=False, train=True, use_time=cfg.use_time,
             )
             mean, _, aux_pred = policy.apply({"params": policy_params}, policy_feat)
@@ -226,7 +231,7 @@ def make_ddpg_update(cfg: AgentConfig):
             # delayed deterministic actor-critic term
             vfeat_pi, _ = extract_feature(
                 feat, jax.lax.stop_gradient(feat_params_), stats1,
-                batch["point_state"], batch["time"],
+                batch[obs_key], batch["time"],
                 action=pi, value=True, train=True, use_time=cfg.use_time,
             )
             q1p, q2p, _ = critic.apply({"params": critic_params}, vfeat_pi)

@@ -16,7 +16,13 @@ from flax import struct
 from flax.core import FrozenDict
 
 from gaddpg_tpu.agents.config import AgentConfig
-from gaddpg_tpu.models import PointNetFeature, GaussianPolicy, QNetwork, GoalFeature
+from gaddpg_tpu.models import (
+    GaussianPolicy,
+    GoalFeature,
+    ImageFeature,
+    PointNetFeature,
+    QNetwork,
+)
 
 
 @struct.dataclass
@@ -44,7 +50,7 @@ def multistep_lr(base_lr: float, milestones, gamma: float):
 
 
 def make_modules(cfg: AgentConfig):
-    feat = PointNetFeature()
+    feat = ImageFeature() if cfg.use_image else PointNetFeature()
     policy = GaussianPolicy(
         action_dim=cfg.action_dim,
         hidden=cfg.hidden_size,
@@ -92,7 +98,11 @@ def create_agent_state(key, cfg: AgentConfig, npoints: int = 1030) -> AgentState
     txs = make_optimizers(cfg)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
-    pc = jnp.zeros((1, 4, npoints))
+    if cfg.use_image:
+        s = cfg.image_size
+        pc = jnp.zeros((1, 5, s, s))
+    else:
+        pc = jnp.zeros((1, 4, npoints))
     feat_vars = feat.init(k1, pc, train=False)
     # also trace the value path so value_encoder params exist
     feat_vars_v = feat.init(
@@ -111,7 +121,10 @@ def create_agent_state(key, cfg: AgentConfig, npoints: int = 1030) -> AgentState
 
     state_feat = jnp.zeros((1, cfg.num_inputs))
     policy_params = policy.init(k2, state_feat)["params"]
-    critic_params = critic.init(k3, state_feat)["params"]
+    # image mode appends the action to the value feature (see
+    # ImageFeature), so the critic input is wider
+    critic_in = cfg.num_inputs + (cfg.action_dim if cfg.use_image else 0)
+    critic_params = critic.init(k3, jnp.zeros((1, critic_in)))["params"]
     goal_vars = goal.init(k4, jnp.zeros((1, 512, 3)), train=False)
 
     return AgentState(

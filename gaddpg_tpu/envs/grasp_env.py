@@ -430,11 +430,15 @@ class PandaGraspEnv:
         _, goal_reachable = ik_from_seeds(
             goal_w[:3, 3], goal_w[:3, :3], iters=20
         )
+        # point-count threshold scales with camera resolution (the
+        # reference's 100-point check is calibrated at its render size,
+        # reference: core/utils.py:140)
+        min_pts = max(8, (50 * p.camera.height * p.camera.width) // 4096)
         valid = (
             ik_ok
             & (dist > 0.15)
             & (dist < 0.6)
-            & (obs.num_points > 50)
+            & (obs.num_points > min_pts)
             & grasp_found
             & goal_reachable
             & state.plan_ok

@@ -12,4 +12,4 @@ Flax re-designs of the reference architectures
 
 from gaddpg_tpu.models.pointnet import PointNetEncoder, PointNetFeature, GoalFeature
 from gaddpg_tpu.models.heads import GaussianPolicy, QNetwork, TASK6D_HIGH, TASK6D_LOW
-from gaddpg_tpu.models.resnet import ResNet18Feature
+from gaddpg_tpu.models.resnet import ImageFeature, ResNet18Feature

@@ -37,6 +37,33 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class ImageFeature(nn.Module):
+    """Policy + value ResNet-18 encoders over RGBDM images.
+
+    Drop-in replacement for PointNetFeature with the same call contract
+    (reference: core/networks.py:106-147 ResNetFeature): separate
+    `encoder` / `value_encoder` submodules (the names the optimizer
+    subtrees key on). The reference feeds the action to the QNetwork
+    head instead of the extractor (sa_channel_concat=False in image
+    mode); here the action is appended to the value feature, which is
+    the same computation once the Q head concatenates.
+    """
+
+    def setup(self):
+        self.encoder = ResNet18Feature(name="encoder")
+        self.value_encoder = ResNet18Feature(name="value_encoder")
+
+    def __call__(self, image, action=None, value: bool = False,
+                 train: bool = True):
+        """image (B, 5, H, W) channels-first RGBDM."""
+        if value:
+            z = self.value_encoder(image, train)
+            if action is not None:
+                z = jnp.concatenate([z, action], axis=-1)
+            return z
+        return self.encoder(image, train)
+
+
 class ResNet18Feature(nn.Module):
     """(B, C, H, W) channels-first RGBDM -> (B, 512)."""
 

@@ -30,6 +30,7 @@ from gaddpg_tpu.geometry.se3 import se3_inverse, pack_pose_rot_first
 class ReplayBuffer:
     # transition storage
     point_state: jnp.ndarray      # (S, 4, P) point cloud state
+    image_state: jnp.ndarray      # (S, 5, H, W) RGBDM; (S, 1, 1, 1) disabled
     action: jnp.ndarray           # (S, 6)
     expert_action: jnp.ndarray    # (S, 6)
     reward: jnp.ndarray           # (S,)
@@ -59,14 +60,21 @@ class ReplayBuffer:
 
 
 def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
-                  point_dtype=None) -> ReplayBuffer:
+                  point_dtype=None, image_shape=None,
+                  image_dtype=None) -> ReplayBuffer:
     """point_dtype (e.g. jnp.bfloat16) halves the dominant array: the
     point clouds are (size, 4, num_points) and dwarf everything else
     (the reference stores them as float64 numpy,
-    reference: core/replay_memory.py:376)."""
+    reference: core/replay_memory.py:376). `image_shape` (C, H, W)
+    enables RGBDM storage for image-mode training (use_image,
+    reference: experiments/config.py:105); bfloat16 by default since
+    images dominate memory."""
     f = lambda *shape: jnp.zeros(shape, dtype)
+    img_shape = image_shape or (1, 1, 1)
     return ReplayBuffer(
         point_state=jnp.zeros((size, 4, num_points), point_dtype or dtype),
+        image_state=jnp.zeros((size, *img_shape),
+                              image_dtype or (jnp.bfloat16 if image_shape else dtype)),
         action=f(size, 6),
         expert_action=f(size, 6),
         reward=f(size),
@@ -88,9 +96,9 @@ def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
 
 
 _EP_FIELDS = (
-    "point_state", "action", "expert_action", "reward", "terminal",
-    "timestep", "state_pose", "goal", "expert_flags", "perturb_flags",
-    "collide", "grasp", "target_idx",
+    "point_state", "image_state", "action", "expert_action", "reward",
+    "terminal", "timestep", "state_pose", "goal", "expert_flags",
+    "perturb_flags", "collide", "grasp", "target_idx",
 )
 
 
@@ -114,8 +122,11 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
     n_valid = jnp.sum(valid).astype(jnp.int32)
 
     # compact valid transitions to the front, preserving order
+    # (fields absent from the episode -- e.g. image_state in point-cloud
+    # runs -- keep their buffer contents)
+    fields = tuple(k for k in _EP_FIELDS if k in episode)
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
-    ep = {k: jnp.take(episode[k], order, axis=0) for k in _EP_FIELDS}
+    ep = {k: jnp.take(episode[k], order, axis=0) for k in fields}
     pos = jnp.arange(T, dtype=jnp.int32)
     is_live = pos < n_valid
 
@@ -136,7 +147,7 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
     idx = jnp.where(is_live, start + pos, size)  # OOB -> dropped by scatter
     end_idx = start + n_valid - 1
 
-    updates = {k: ep[k] for k in _EP_FIELDS}
+    updates = {k: ep[k] for k in fields}
     updates["returns"] = returns
 
     new_fields = {}
@@ -194,7 +205,14 @@ def sample(buf: ReplayBuffer, key, batch_size: int, episode_max_len: int = 20,
         goal = jnp.where(mask, pack_pose_rot_first(rel), goal)
         next_goal = jnp.where(mask, pack_pose_rot_first(rel_n), next_goal)
 
+    out_img = {}
+    if buf.image_state.shape[-1] > 1:  # image storage enabled
+        out_img = {
+            "image_state": buf.image_state[idx].astype(jnp.float32),
+            "next_image_state": buf.image_state[nxt].astype(jnp.float32),
+        }
     return {
+        **out_img,
         "point_state": buf.point_state[idx],
         "next_point_state": buf.point_state[nxt],
         "action": buf.action[idx],

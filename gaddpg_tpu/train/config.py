@@ -118,6 +118,8 @@ _RL_TRAIN_MAP = {
     "critic_aux": ("agent", "critic_aux"),
     "sa_channel_concat": ("agent", "sa_channel_concat"),
     "use_time": ("agent", "use_time"),
+    "use_image": ("agent", "use_image"),
+    "IMG_SIZE": ("agent", "image_size"),
     "train_feature": ("agent", "train_feature"),
     "train_value_feature": ("agent", "train_value_feature"),
     "policy_milestones": ("agent", "policy_milestones"),
@@ -169,6 +171,19 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None,
         train_kw["policy"] = policy
 
     cfg = TrainConfig(agent=AgentConfig(**agent_kw), **train_kw)
+    if cfg.agent.use_image and not cfg.env.use_image:
+        # image mode: render RGBDM at the agent's input resolution (the
+        # reference renders 112x112 for ResNet, core/networks.py:129-132)
+        from gaddpg_tpu.render.camera import CameraParams
+
+        s = cfg.agent.image_size
+        cfg = dataclasses.replace(
+            cfg,
+            env=dataclasses.replace(
+                cfg.env, use_image=True,
+                camera=CameraParams(width=s, height=s),
+            ),
+        )
     # derived hacks mirroring process_cfg (reference: experiments/config.py:180-205)
     if cfg.onpolicy and cfg.rl:
         cfg = dataclasses.replace(cfg, explore_cap=1.0)

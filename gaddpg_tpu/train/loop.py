@@ -45,11 +45,17 @@ class Trainer:
         else:
             self.update = jax.jit(make_ddpg_update(cfg.agent), donate_argnums=(0,))
 
-        self.buffer = replay.create_buffer(cfg.buffer_size, num_points=num_pts)
+        img_shape = None
+        if cfg.agent.use_image:
+            cam = self.env.p.camera
+            img_shape = (5, cam.height, cam.width)
+        self.buffer = replay.create_buffer(
+            cfg.buffer_size, num_points=num_pts, image_shape=img_shape
+        )
         self.online_buffer = None
         if cfg.onpolicy and cfg.online_buffer_size:
             self.online_buffer = replay.create_buffer(
-                cfg.online_buffer_size, num_points=num_pts
+                cfg.online_buffer_size, num_points=num_pts, image_shape=img_shape
             )
 
         self.metrics = MetricLogger(cfg.output_dir)

@@ -43,6 +43,9 @@ class RolloutWorker:
         self.cfg = train_cfg
         self.agent_cfg = agent_cfg
         self.select_action = make_select_action(agent_cfg)
+        # image mode: the policy consumes the RGBDM observation and the
+        # replay stores it (reference: experiments/config.py:105)
+        self.use_image = agent_cfg.use_image
         self.rollout = jax.jit(self._rollout, static_argnames=("expert_only",))
         self.evaluate = jax.jit(self._evaluate)
         self.evaluate_scenes = jax.jit(self._evaluate_scenes)
@@ -107,8 +110,9 @@ class RolloutWorker:
             if expert_only:
                 policy_a = expert_a
             else:
+                inp = obs.image if self.use_image else obs.point_state
                 policy_a, _ = self.select_action(
-                    agent_state, obs.point_state, remain, k1, noise_scale, True
+                    agent_state, inp, remain, k1, noise_scale, True
                 )
             dart = (
                 jnp.asarray(cfg.dart)
@@ -154,6 +158,7 @@ class RolloutWorker:
             )
             trans = {
                 "point_state": obs.point_state,
+                **({"image_state": obs.image} if self.use_image else {}),
                 "action": action,
                 "expert_action": expert_a,
                 "reward": jnp.zeros((n,)),
@@ -225,8 +230,9 @@ class RolloutWorker:
             states, obs, done, key = carry
             key, k1, k_step = jax.random.split(key, 3)
             remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
+            inp = obs.image if self.use_image else obs.point_state
             action, _ = self.select_action(
-                agent_state, obs.point_state, remain, k1, 0.0, False
+                agent_state, inp, remain, k1, 0.0, False
             )
             step_keys = jax.random.split(k_step, n)
             new_states, new_obs, _, new_done, _ = env.step_batched(

@@ -1,0 +1,108 @@
+"""Image-observation (RGBDM -> ResNet-18) training path.
+
+Covers use_image end to end (reference: experiments/config.py:105,
+core/networks.py:106-147): agent construction, BC + DDPG updates on
+image batches, replay image storage.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaddpg_tpu import replay
+from gaddpg_tpu.agents.bc import make_bc_update
+from gaddpg_tpu.agents.config import AgentConfig
+from gaddpg_tpu.agents.ddpg import make_ddpg_update, make_select_action
+from gaddpg_tpu.agents.state import create_agent_state
+
+S = 32  # tiny images keep the CPU test fast
+
+
+def image_batch(batch, key):
+    ks = jax.random.split(key, 3)
+    img = jax.random.uniform(ks[0], (batch, 5, S, S))
+    goal = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0.1]), (batch, 1))
+    return {
+        "image_state": img,
+        "next_image_state": img,
+        "point_state": jnp.zeros((batch, 4, 70)),
+        "next_point_state": jnp.zeros((batch, 4, 70)),
+        "action": jax.random.uniform(ks[1], (batch, 6), minval=-0.05, maxval=0.05),
+        "expert_action": jax.random.uniform(ks[2], (batch, 6), minval=-0.05,
+                                            maxval=0.05),
+        "reward": jnp.zeros((batch,)),
+        "return": jnp.ones((batch,)),
+        "terminal": jnp.zeros((batch,)),
+        "time": jnp.full((batch,), 10.0),
+        "goal": goal,
+        "next_goal": goal,
+        "expert_flags": jnp.ones((batch,)),
+        "perturb_flags": jnp.zeros((batch,)),
+    }
+
+
+class TestImageAgent:
+    def test_bc_update_decreases_loss(self):
+        cfg = AgentConfig(use_image=True, image_size=S, batch_size=8)
+        state = create_agent_state(jax.random.PRNGKey(0), cfg)
+        update = jax.jit(make_bc_update(cfg), donate_argnums=(0,))
+        batch = image_batch(8, jax.random.PRNGKey(1))
+        losses = []
+        for i in range(6):
+            state, m = update(state, batch, jax.random.PRNGKey(2 + i))
+            losses.append(float(m["bc_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_ddpg_update_runs(self):
+        cfg = AgentConfig(use_image=True, image_size=S, batch_size=4)
+        state = create_agent_state(jax.random.PRNGKey(0), cfg)
+        update = jax.jit(make_ddpg_update(cfg), donate_argnums=(0,))
+        state, m = update(state, image_batch(4, jax.random.PRNGKey(1)),
+                          jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["critic_loss"]))
+        assert int(state.update_step) == 1
+
+    def test_select_action_from_image(self):
+        cfg = AgentConfig(use_image=True, image_size=S)
+        state = create_agent_state(jax.random.PRNGKey(0), cfg)
+        select = make_select_action(cfg)
+        img = jnp.zeros((3, 5, S, S))
+        a, aux = jax.jit(lambda st, im: select(st, im, jnp.full((3,), 5.0),
+                                               jax.random.PRNGKey(1), 0.0, False))(
+            state, img
+        )
+        assert a.shape == (3, 6)
+        assert np.isfinite(np.asarray(a)).all()
+
+
+class TestImageReplay:
+    def test_image_storage_roundtrip(self):
+        buf = replay.create_buffer(64, num_points=70, image_shape=(5, S, S))
+        T = 10
+        ep = {
+            "point_state": jnp.zeros((T, 4, 70)),
+            "image_state": jnp.ones((T, 5, S, S)) * jnp.arange(T)[:, None, None, None],
+            "action": jnp.zeros((T, 6)),
+            "expert_action": jnp.zeros((T, 6)),
+            "reward": jnp.zeros((T,)).at[T - 1].set(1.0),
+            "terminal": jnp.zeros((T,)).at[T - 1].set(1.0),
+            "timestep": jnp.arange(T, dtype=jnp.float32),
+            "state_pose": jnp.tile(jnp.eye(4), (T, 1, 1)),
+            "goal": jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0.1]), (T, 1)),
+            "expert_flags": jnp.ones((T,)),
+            "perturb_flags": jnp.zeros((T,)),
+            "collide": jnp.zeros((T,)),
+            "grasp": jnp.zeros((T,)),
+            "target_idx": jnp.zeros((T,)),
+        }
+        valid = jnp.ones((T,), bool)
+        buf = replay.add_episode(buf, ep, valid)
+        batch = replay.sample(buf, jax.random.PRNGKey(0), 16, episode_max_len=4)
+        assert batch["image_state"].shape == (16, 5, S, S)
+        # next image belongs to the successor transition
+        idx = np.asarray(batch["batch_idx"])
+        nxt = np.minimum(np.asarray(buf.episode_map)[idx], idx + 1)
+        np.testing.assert_allclose(
+            np.asarray(batch["next_image_state"][:, 0, 0, 0]), nxt.astype(np.float32)
+        )
