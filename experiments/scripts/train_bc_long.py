@@ -1,0 +1,128 @@
+"""Long BC training run -> learned-policy success artifact.
+
+Phases (resumable; state on disk under output/bc_long):
+  1. generate + save the fixed eval scene set (the reference's
+     pre-generated scene_{k} protocol, reference:
+     core/train_test_offline.py:176-256, experiments/scripts/test_ycb.sh)
+  2. collect expert demonstrations on the YCB proxy library until
+     TARGET_TRANSITIONS successful-episode transitions are stored
+  3. train BC with periodic checkpoints
+  4. (run eval_bc_long.py afterwards for the success table)
+
+Usage (dev host, CPU):
+    JAX_PLATFORMS=cpu python experiments/scripts/train_bc_long.py
+Env knobs: ENVS, TARGET_TRANSITIONS, MAX_UPDATES, MAX_HOURS, BATCH.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from gaddpg_tpu import replay  # noqa: E402
+from gaddpg_tpu.envs.assets import library_from_index  # noqa: E402
+from gaddpg_tpu.envs.scenes import generate_scenes, save_scenes  # noqa: E402
+from gaddpg_tpu.replay.npz_io import load_npz, save_npz  # noqa: E402
+from gaddpg_tpu.train.checkpoints import save_agent  # noqa: E402
+from gaddpg_tpu.train.config import load_config  # noqa: E402
+from gaddpg_tpu.train.loop import Trainer  # noqa: E402
+
+OUT = os.environ.get("OUT", "output/bc_long")
+ENVS = int(os.environ.get("ENVS", 24))
+TARGET_TRANSITIONS = int(os.environ.get("TARGET_TRANSITIONS", 5000))
+MAX_UPDATES = int(os.environ.get("MAX_UPDATES", 4000))
+MAX_HOURS = float(os.environ.get("MAX_HOURS", 7.0))
+BATCH = int(os.environ.get("BATCH", 64))
+NUM_SCENES = int(os.environ.get("NUM_SCENES", 200))
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(os.path.join(OUT, "run.log"), "a") as f:
+        f.write(line + "\n")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    t_start = time.time()
+    cfg = load_config(overrides={
+        "num_envs": ENVS,
+        "batch_size": BATCH,
+        "updates_per_iter": 1,
+        "explore_ratio": 0.0,
+        "explore_cap": 0.0,
+        "explore_ratio_list": (0.0,),
+        "dart": False,
+        "dagger": False,
+        "buffer_size": max(TARGET_TRANSITIONS + 2000, 8000),
+        "max_epoch": MAX_UPDATES + 1,
+        "index_file": "ycb",
+        "output_dir": OUT,
+    }, policy="BC")
+    lib = library_from_index("ycb", "train")
+    tr = Trainer(cfg, lib=lib)
+
+    # phase 1: fixed eval scenes
+    scene_path = os.path.join(OUT, "eval_scenes.npz")
+    if not os.path.exists(scene_path):
+        log(f"generating {NUM_SCENES} eval scenes...")
+        scenes = generate_scenes(tr.env, jax.random.PRNGKey(1234), NUM_SCENES)
+        save_scenes(scenes, scene_path)
+        log(f"saved {scene_path}")
+
+    # phase 2: expert demonstrations
+    data_path = os.path.join(OUT, "bc_demos.npz")
+    if os.path.exists(data_path):
+        tr.buffer = load_npz(data_path, buffer_size=cfg.buffer_size,
+                             num_points=cfg.env.uniform_num_pts + 6)
+        log(f"loaded {int(tr.buffer.filled)} transitions from {data_path}")
+    wave = 0
+    while int(replay.upper_idx(tr.buffer)) < TARGET_TRANSITIONS:
+        t0 = time.time()
+        stats = tr.collect()
+        wave += 1
+        log(f"collect wave {wave}: {stats} ({time.time()-t0:.0f}s)")
+        if wave % 5 == 0:
+            save_npz(tr.buffer, data_path)
+        if time.time() - t_start > MAX_HOURS * 3600 * 0.5:
+            log("collection time budget hit")
+            break
+    save_npz(tr.buffer, data_path)
+    n_data = int(tr.buffer.filled)
+    log(f"dataset: {n_data} transitions")
+
+    # phase 3: BC training
+    losses = []
+    t_train0 = time.time()
+    for i in range(MAX_UPDATES):
+        m = tr.train_iter()
+        if not m:
+            log("buffer too small for a batch; aborting train")
+            break
+        losses.append(m.get("bc_loss", float("nan")))
+        if (i + 1) % 25 == 0:
+            log(f"update {i+1}: bc_loss={np.mean(losses[-25:]):.4f} "
+                f"aux={m.get('policy_grasp_aux_loss', 0):.4f} "
+                f"({(time.time()-t_train0)/(i+1):.1f}s/upd)")
+        if (i + 1) % 100 == 0:
+            save_agent(tr.agent_state, OUT)
+            with open(os.path.join(OUT, "train_stats.json"), "w") as f:
+                json.dump({"updates": i + 1, "n_data": n_data,
+                           "loss_first25": float(np.mean(losses[:25])),
+                           "loss_last25": float(np.mean(losses[-25:]))}, f)
+        if time.time() - t_start > MAX_HOURS * 3600:
+            log("total time budget hit")
+            break
+    save_agent(tr.agent_state, OUT)
+    log(f"done: {len(losses)} updates, final bc_loss "
+        f"{np.mean(losses[-25:]) if losses else float('nan'):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,112 @@ def load_obj(path: str, scale: float = 1.0) -> np.ndarray:
     return v[t]
 
 
+def _tri_points_normals(tris: np.ndarray, n: int, seed: int = 0):
+    """Area-weighted surface samples with owning-triangle normals."""
+    rng = np.random.RandomState(seed)
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    nrm = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(nrm, axis=-1)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    p = area / max(area.sum(), 1e-12)
+    ti = rng.choice(len(tris), size=n, p=p)
+    u, w = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + w) > 1
+    u = np.where(flip, 1 - u, u)
+    w = np.where(flip, 1 - w, w)
+    pts = tris[ti, 0] + u * e1[ti] + w * e2[ti]
+    return pts.astype(np.float32), nrm[ti].astype(np.float32)
+
+
+def antipodal_grasps(tris: np.ndarray, max_g: int = 64, seed: int = 0,
+                     width=(0.012, 0.075), n_samples: int = 800):
+    """Antipodal grasp candidates from mesh surface geometry.
+
+    The counterpart of the ACRONYM grasp sets the reference loads per
+    object (reference: env/panda_scene.py:1252-1255,
+    misc/grasp_data_reader.py): pairs of surface points with opposing
+    normals within the gripper width become pinch grasps, each offered
+    with several approach rolls about the closing axis (reachability is
+    filtered at runtime like every DB grasp).
+    """
+    from gaddpg_tpu.envs.assets import _grasp_pose
+
+    pts, nrm = _tri_points_normals(tris, n_samples, seed)
+    d = pts[:, None, :] - pts[None, :, :]                    # p_i - p_j
+    dist = np.linalg.norm(d, axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dirs = d / np.maximum(dist[..., None], 1e-9)
+    opposing = np.einsum("ik,jk->ij", nrm, nrm) < -0.6
+    in_width = (dist > width[0]) & (dist < width[1])
+    # antipodal condition: at each point the closing line runs INTO the
+    # surface, i.e. along the outward normal when pointing away from the
+    # other point. dirs[i,j] = (p_i - p_j)/|.|, so n_i aligns with dirs
+    # and n_j with -dirs.
+    along_i = np.einsum("ijk,ik->ij", dirs, nrm) > 0.8
+    along_j = np.einsum("ijk,jk->ij", -dirs, nrm) > 0.8
+    ii, jj = np.nonzero(np.triu(opposing & in_width & along_i & along_j, 1))
+    if len(ii) == 0:
+        return None
+
+    rng = np.random.RandomState(seed + 1)
+    order = rng.permutation(len(ii))
+    grasps, used = [], []
+    min_sep = 0.015
+    for k in order:
+        i, j = ii[k], jj[k]
+        center = 0.5 * (pts[i] + pts[j])
+        if any(np.linalg.norm(center - c) < min_sep for c in used):
+            continue
+        used.append(center)
+        closing = pts[j] - pts[i]
+        closing = closing / np.linalg.norm(closing)
+        # several approach rolls about the closing axis
+        base = np.array([0.0, 0.0, 1.0])
+        if abs(np.dot(base, closing)) > 0.95:
+            base = np.array([1.0, 0.0, 0.0])
+        a0 = base - closing * np.dot(base, closing)
+        a0 = a0 / np.linalg.norm(a0)
+        a1 = np.cross(closing, a0)
+        for ang in (0.0, np.pi / 2, np.pi, 3 * np.pi / 2):
+            approach = np.cos(ang) * a0 + np.sin(ang) * a1
+            grasps.append(_grasp_pose(center, approach, closing))
+            if len(grasps) >= max_g:
+                return np.asarray(grasps, np.float32)
+    return np.asarray(grasps, np.float32) if grasps else None
+
+
+def filter_grasps_by_spheres(grasps: np.ndarray, spheres: np.ndarray,
+                             pad_half=(0.011, 0.009, 0.027),
+                             pad_center_z: float = 0.0854,
+                             finger_travel: float = 0.04,
+                             margin: float = 0.004) -> np.ndarray:
+    """Keep grasps whose closing finger pads actually squeeze a sphere.
+
+    The simulator's contact reality is the sphere set; a grasp that
+    closes on a region the packing leaves empty (e.g. past a rim)
+    pinches air. Exact test in the grasp/hand frame against the pad box
+    geometry (physics.types.PhysicsParams finger boxes): some sphere
+    must overlap the pad's x/z footprint by `margin` while its y span is
+    within finger reach -- the verify-on-load spirit of the reference's
+    grasp reader (reference: misc/grasp_data_reader.py:338-357).
+    """
+    if grasps is None or len(grasps) == 0:
+        return grasps
+    live = spheres[spheres[:, 3] > 0]
+    keep = []
+    for g in grasps:
+        inv_r = g[:3, :3].T
+        c = (live[:, :3] - g[:3, 3]) @ inv_r.T  # centers, grasp frame
+        r = live[:, 3]
+        dx = np.maximum(np.abs(c[:, 0]) - pad_half[0], 0.0)
+        dz = np.maximum(np.abs(c[:, 2] - pad_center_z) - pad_half[2], 0.0)
+        footprint = np.sqrt(dx**2 + dz**2) < r - margin
+        reachable = np.abs(c[:, 1]) < finger_travel + r - margin
+        keep.append(bool((footprint & reachable).any()))
+    return grasps[np.asarray(keep)]
+
+
 def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
                     density: float = 300.0, res: int = 24,
                     max_spheres: int = 32, num_surface: int = 1024,
@@ -78,6 +184,11 @@ def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
     )
     inertia = np.maximum(inertia, 1e-5)
     rest_height = float(-lo[2])
+    if grasps is None:
+        grasps = antipodal_grasps(tris, seed=seed)
+    grasps = filter_grasps_by_spheres(grasps, spheres)
+    if grasps is not None and len(grasps) == 0:
+        grasps = None
     return {
         "spheres": spheres,
         "surface": surface,

@@ -87,9 +87,11 @@ class EnvParams:
     # (reference places 1 target + load_obj_num-1 obstacles,
     # reference: env/panda_scene.py:995-1035); 0 = single-object scenes
     num_clutter: int = 0
-    # CHOMP-style trajectory-optimizer expert instead of the straight
-    # servo (required for clutter; see expert/chomp.py)
-    use_planner: bool = False
+    # CHOMP-style trajectory-optimizer expert (expert/chomp.py) -- the
+    # default, like the reference's always-on OMG planner; it treats the
+    # target as an approach obstacle so the expert never sweeps through
+    # it. False falls back to the straight goal servo.
+    use_planner: bool = True
     # grid kept inside the arm's validity envelope (reset requires
     # 0.15 < tcp-target distance < 0.6)
     clutter_grid_x: Tuple[float, float] = (0.45, 0.69)
@@ -706,9 +708,15 @@ class PandaGraspEnv:
         the current grasp goal around the clutter (the reference replans
         mid-episode for DAgger, reference: env/panda_scene.py:920-993)."""
         spheres = self._clutter_spheres_world(state)
+        obj_pose = self._obj_pose(state.phys.obj)
+        sph = self.lib.spheres[state.obj_idx]
+        target_sph = jnp.concatenate(
+            [sph[:, :3] @ obj_pose[:3, :3].T + obj_pose[:3, 3], sph[:, 3:]],
+            axis=-1,
+        )
         plan, ok = plan_to_goal(
             state.phys.arm.q[:7], self._goal_world(state), spheres,
-            table_z=self.p.physics.table_z,
+            table_z=self.p.physics.table_z, target_spheres=target_sph,
         )
         return state.replace(
             plan=plan, plan_ok=ok, plan_step=jnp.asarray(0, jnp.int32)

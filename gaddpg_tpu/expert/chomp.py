@@ -93,7 +93,17 @@ def obstacle_cost(q, spheres, margin: float = 0.01, table_z: float = 0.0):
     return jnp.sum(pen**2) + jnp.sum(table_pen**2)
 
 
-def _traj_cost(free_q, q0, q_end, spheres, table_z, w_smooth, w_obs):
+# obstacle-cost fade toward the trajectory end for the *target's own*
+# geometry: the grasp must end in contact, so the target repels the
+# approach but not the final alignment (OMG masks the target SDF near
+# the goal set the same way, reference: env/panda_scene.py:897-917)
+def _target_fade(n):
+    ramp = jnp.minimum(jnp.arange(n, 0, -1, dtype=jnp.float32) - 1, 4.0) / 4.0
+    return ramp  # 1, 1, ..., 1, 0.75, 0.5, 0.25, 0
+
+
+def _traj_cost(free_q, q0, q_end, spheres, target_spheres, table_z,
+               w_smooth, w_obs):
     """free_q (M, 7) interior waypoints between fixed q0 and q_end."""
     traj = jnp.concatenate([q0[None], free_q, q_end[None]], axis=0)
     acc = traj[2:] - 2.0 * traj[1:-1] + traj[:-2]
@@ -101,13 +111,20 @@ def _traj_cost(free_q, q0, q_end, spheres, table_z, w_smooth, w_obs):
     obs = jnp.sum(
         jax.vmap(lambda q: obstacle_cost(q, spheres, table_z=table_z))(traj)
     )
+    fade = _target_fade(traj.shape[0])
+    obs = obs + jnp.sum(
+        fade * jax.vmap(
+            lambda q: obstacle_cost(q, target_spheres, table_z=table_z)
+        )(traj)
+    )
     return w_smooth * smooth + w_obs * obs
 
 
 @partial(jax.jit, static_argnames=("iters",))
 def plan_to_goal(q0, goal_pose, obstacle_spheres, iters: int = 30,
                  table_z: float = 0.0, lr: float = 0.2,
-                 w_smooth: float = 1.0, w_obs: float = 50.0):
+                 w_smooth: float = 1.0, w_obs: float = 50.0,
+                 target_spheres=None):
     """Plan PLAN_STEPS joint waypoints from q0 (7,) to the grasp
     `goal_pose` (4, 4 world) around `obstacle_spheres` (NOBS, 4 world,
     radius 0 = padding).
@@ -115,7 +132,12 @@ def plan_to_goal(q0, goal_pose, obstacle_spheres, iters: int = 30,
     Returns (plan (PLAN_STEPS, 7), ok). Mirrors `expert_plan`
     (reference: env/panda_scene.py:920-993): trajectory optimization to
     a standoff, then a straight insertion along the grasp approach.
+    `target_spheres` adds the grasp target's own geometry as an
+    approach-phase obstacle whose cost fades near the standoff, so the
+    expert never sweeps through the object it is about to grasp.
     """
+    if target_spheres is None:
+        target_spheres = jnp.zeros((0, 4))
     standoff = goal_pose.at[:3, 3].add(-STANDOFF_DIST * goal_pose[:3, 2])
     # IK seeded from q0 first: it lands on the joint-space branch nearest
     # the start, keeping the interpolated trajectory local (multi-start
@@ -139,8 +161,8 @@ def plan_to_goal(q0, goal_pose, obstacle_spheres, iters: int = 30,
     grad_fn = jax.grad(_traj_cost)
 
     def gd(free, _):
-        g = grad_fn(free, q0, q_stand, obstacle_spheres, table_z,
-                    w_smooth, w_obs)
+        g = grad_fn(free, q0, q_stand, obstacle_spheres, target_spheres,
+                    table_z, w_smooth, w_obs)
         free = free - lr * (_MINV @ g)  # CHOMP-preconditioned step
         free = jnp.clip(free, JOINT_LOWER, JOINT_UPPER)
         return free, None

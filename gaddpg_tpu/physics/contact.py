@@ -31,6 +31,29 @@ class Contacts(NamedTuple):
     fn_scale: jnp.ndarray   # (C,) per-contact normal force clamp
 
 
+def clamp_passive_delta(dv, v, dv_max, eps=1e-9):
+    """Constrain a contact-driven velocity delta to passive behavior.
+
+    Decomposed against the current velocity v: the braking component
+    (along -v) may run to full reversal plus a dv_max margin -- so an
+    incoming object is always stopped, never tunnels -- while the
+    speed-increasing components (along +v and perpendicular) are capped
+    at dv_max per substep. Penalty springs backed by the position-servo
+    arm are an unbounded energy source; this is what keeps a deep
+    squeeze or table press from releasing as an ejection.
+
+    Shape-agnostic over leading batch dims; last axis is the vector.
+    """
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v_hat = v / jnp.maximum(vn, eps)
+    along = jnp.sum(dv * v_hat, axis=-1, keepdims=True)
+    perp = dv - along * v_hat
+    pn = jnp.linalg.norm(perp, axis=-1, keepdims=True)
+    along_c = jnp.clip(along, -(vn + dv_max), dv_max)
+    perp_c = perp * jnp.minimum(1.0, dv_max / jnp.maximum(pn, eps))
+    return along_c * v_hat + perp_c
+
+
 def sphere_plane_contacts(centers, radii, plane_z, max_force=jnp.inf):
     pen = radii - (centers[:, 2] - plane_z)
     n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centers.shape)

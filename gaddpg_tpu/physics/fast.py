@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaddpg_tpu.geometry.rotations import quat_mul, quat_rotate, quat_normalize
+from gaddpg_tpu.physics.contact import clamp_passive_delta
 from gaddpg_tpu.physics.types import PhysicsParams, PhysicsState
 from gaddpg_tpu.robot.panda import _ORIGINS, _T_HAND
 
@@ -231,26 +232,23 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         f_n = fn[..., None] * nrm
         f_contact = jnp.sum(f_n, axis=1)
         torque = jnp.sum(jnp.cross(r_c, f_n), axis=1)
-        # contact dv/dw cap (see PhysicsParams.contact_dv_max): penalty
-        # contact resists/supports but never flings; scale the whole
-        # contact wrench so force/torque stay consistent
-        w_body = quat_rotate(q_c, angvel)
-        tau_b0 = quat_rotate(q_c, torque)
-        dv_n = p.dt * jnp.linalg.norm(f_contact, axis=-1) / mass
-        dw_n = p.dt * jnp.linalg.norm(tau_b0 * inv_inertia, axis=-1)
-        cap = jnp.minimum(
-            p.contact_dv_max / jnp.maximum(dv_n, 1e-9),
-            p.contact_dw_max / jnp.maximum(dw_n, 1e-9),
+        # passive-contact dv/dw cap (see PhysicsParams.contact_dv_max):
+        # braking up to reversal is free, speed gain is capped
+        dv_c = clamp_passive_delta(
+            p.dt * f_contact / mass_c, linvel, p.contact_dv_max
         )
-        scale = jnp.minimum(1.0, cap)[:, None]
-        total_f = f_contact * scale
-        total_f = total_f.at[:, 2].add(p.gravity * mass)
+        tau_b0 = quat_rotate(q_c, torque)
+        dw_body = p.dt * tau_b0 * inv_inertia
+        w_body = quat_rotate(q_c, angvel)
+        dw_c_body = clamp_passive_delta(dw_body, w_body, p.contact_dw_max)
 
         # gyroscopic term + I^-1 application via body frame
         gyro_b = jnp.cross(w_body, inertia * w_body)
-        tau_b = tau_b0 * scale - gyro_b
-        v_pred = linvel + p.dt * total_f / mass_c
-        w_pred = angvel + p.dt * quat_rotate(quat, tau_b * inv_inertia)
+        v_pred = linvel + dv_c
+        v_pred = v_pred.at[:, 2].add(p.dt * p.gravity)
+        w_pred = angvel + quat_rotate(
+            quat, dw_c_body - p.dt * gyro_b * inv_inertia
+        )
 
         # ---- friction impulse passes ----
         # Pass 1 establishes the slip direction t_dir and effective mass

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from gaddpg_tpu.geometry.rotations import quat_to_mat, quat_integrate
 from gaddpg_tpu.physics.contact import (
+    clamp_passive_delta,
     concat_contacts,
     friction_impulses,
     normal_forces,
@@ -112,21 +113,19 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
     f_normal = fn[:, None] * contacts.normal
     f_contact = jnp.sum(f_normal, axis=0)
     torque = jnp.sum(jnp.cross(r_pts, f_normal), axis=0)
-    # contact dv/dw cap (see PhysicsParams.contact_dv_max): scale force
-    # and torque together so the contact wrench stays consistent
-    dv_n = p.dt * jnp.linalg.norm(f_contact) / mass
-    scale = jnp.minimum(1.0, p.contact_dv_max / jnp.maximum(dv_n, 1e-9))
-    dw_n = p.dt * jnp.linalg.norm(inv_iw @ torque)
-    scale = jnp.minimum(
-        scale, p.contact_dw_max / jnp.maximum(dw_n, 1e-9)
+    # passive-contact dv/dw cap (see PhysicsParams.contact_dv_max):
+    # braking up to full reversal margin is free; speed gain is capped
+    dv_c = clamp_passive_delta(
+        p.dt * f_contact / mass, obj.linvel, p.contact_dv_max
     )
-    f_contact = f_contact * scale
-    torque = torque * scale
-    total_f = f_contact + jnp.array([0.0, 0.0, p.gravity * mass])
+    dw_c = clamp_passive_delta(
+        p.dt * (inv_iw @ torque), obj.angvel, p.contact_dw_max
+    )
 
     gyro = jnp.cross(obj.angvel, (r_obj @ jnp.diag(inertia_diag) @ r_obj.T) @ obj.angvel)
-    v_pred = obj.linvel + p.dt * total_f / mass
-    w_pred = obj.angvel + p.dt * (inv_iw @ (torque - gyro))
+    v_pred = obj.linvel + dv_c + p.dt * jnp.array([0.0, 0.0, p.gravity])
+    w_pred = obj.angvel + dw_c - p.dt * (inv_iw @ gyro)
+    total_f = f_contact + jnp.array([0.0, 0.0, p.gravity * mass])
 
     # ---- friction impulse passes (stiction against predicted velocity) ----
     # Jacobi with 1/n shares removes ~90% of tangential velocity per

@@ -45,14 +45,16 @@ class PhysicsParams:
     # meters). Caps make deep contact plastic instead of explosive.
     palm_max_force: float = 100.0       # N (4x finger squeeze)
     table_max_force: float = 400.0      # N
-    # per-substep cap on the contact-driven velocity/angular-velocity
-    # change: penalty springs may resist and support but never fling --
+    # per-substep cap on the *speed-increasing* part of the
+    # contact-driven velocity change: penalty contact may brake an
+    # incoming object without limit (up to reversal, so falls never
+    # tunnel) but can accelerate it by at most this much per substep --
     # the position-servoed arm is an infinite energy source, and without
-    # this cap a deep squeeze releases as an ejection. 0.1 m/s per 2 ms
-    # substep = 50 m/s^2 sustained, far above any legitimate contact
-    # acceleration in a tabletop grasp and far below launch rates.
-    contact_dv_max: float = 0.10        # m/s per substep
-    contact_dw_max: float = 0.60        # rad/s per substep
+    # the cap a deep squeeze or table press releases as an ejection.
+    # 0.05 m/s per 2 ms substep = 25 m/s^2 sustained, far above any
+    # legitimate contact acceleration in a tabletop grasp.
+    contact_dv_max: float = 0.05        # m/s per substep
+    contact_dw_max: float = 0.50        # rad/s per substep
     # hard physical ceilings (hand moves <~0.5 m/s; free fall from the
     # workspace tops out ~3 m/s)
     max_linvel: float = 3.0             # m/s

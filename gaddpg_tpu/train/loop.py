@@ -182,8 +182,8 @@ class Trainer:
         return self.obj_perf
 
     # ------------------------------------------------------------------
-    def evaluate(self, episodes: int = 1, scenes=None):
-        """Policy-only evaluation waves; returns success rate.
+    def evaluate(self, episodes: int = 1, scenes=None, expert: bool = False):
+        """Policy (or expert-baseline) evaluation waves; returns success.
 
         With `scenes` (a scene set dict from envs.scenes) the protocol is
         deterministic: wave w evaluates scenes [w*num_envs, ...) with
@@ -197,7 +197,7 @@ class Trainer:
             if scenes is not None:
                 batch = scene_slice(scenes, w * self.cfg.num_envs, self.cfg.num_envs)
                 out = self.worker.evaluate_scenes(
-                    self.agent_state, batch, self._next_key()
+                    self.agent_state, batch, self._next_key(), expert=expert
                 )
             else:
                 out = self.worker.evaluate(self.agent_state, self._next_key())

@@ -48,7 +48,9 @@ class RolloutWorker:
         self.use_image = agent_cfg.use_image
         self.rollout = jax.jit(self._rollout, static_argnames=("expert_only",))
         self.evaluate = jax.jit(self._evaluate)
-        self.evaluate_scenes = jax.jit(self._evaluate_scenes)
+        self.evaluate_scenes = jax.jit(
+            self._evaluate_scenes, static_argnames=("expert",)
+        )
 
     # ------------------------------------------------------------------
     def _reset_all(self, key, num_envs):
@@ -208,15 +210,17 @@ class RolloutWorker:
         states, obs = self._reset_all(k_reset, self.cfg.num_envs)
         return self._eval_from(agent_state, states, obs, k_run)
 
-    def _evaluate_scenes(self, agent_state, scenes, key):
-        """Policy evaluation on a fixed scene set (reproducible protocol,
+    def _evaluate_scenes(self, agent_state, scenes, key, expert: bool = False):
+        """Policy (or expert, for the A/B baseline the reference's
+        --expert flag provides, reference: core/train_test_offline.py:208-223)
+        evaluation on a fixed scene set (reproducible protocol,
         reference: core/train_test_offline.py:176-256)."""
         k_reset, k_run = jax.random.split(key)
         keys = jax.random.split(k_reset, self.cfg.num_envs)
         states, obs = jax.vmap(self.env.reset_scene)(scenes, keys)
-        return self._eval_from(agent_state, states, obs, k_run)
+        return self._eval_from(agent_state, states, obs, k_run, expert=expert)
 
-    def _eval_from(self, agent_state, states, obs, key):
+    def _eval_from(self, agent_state, states, obs, key, expert: bool = False):
         cfg = self.cfg
         env = self.env
         n = cfg.num_envs
@@ -230,10 +234,13 @@ class RolloutWorker:
             states, obs, done, key = carry
             key, k1, k_step = jax.random.split(key, 3)
             remain = jnp.maximum(plan_len - t.astype(plan_len.dtype), 1.0)
-            inp = obs.image if self.use_image else obs.point_state
-            action, _ = self.select_action(
-                agent_state, inp, remain, k1, 0.0, False
-            )
+            if expert:
+                action = jax.vmap(env.expert_action)(states)
+            else:
+                inp = obs.image if self.use_image else obs.point_state
+                action, _ = self.select_action(
+                    agent_state, inp, remain, k1, 0.0, False
+                )
             step_keys = jax.random.split(k_step, n)
             new_states, new_obs, _, new_done, _ = env.step_batched(
                 states, action, step_keys

@@ -70,11 +70,18 @@ class TestSettle:
         expected = 0.5 - 0.5 * 9.81 * 0.01
         assert abs(float(st.obj.pos[2]) - expected) < 2e-3
 
-    def test_sideways_push_fricton_stops_slide(self):
+    def test_sideways_push_friction_stops_slide(self):
+        # a cube shoved at 0.5 m/s tips onto its leading edge and rocks
+        # for ~1 s before friction + contact damping kill it -- the
+        # passive-contact clamp (contact.clamp_passive_delta) preserves
+        # the rocking energy exchange instead of over-damping it, so the
+        # window covers the full rock-and-settle
         lib = box_asset(0.06, 0.06, 0.06, mass=0.3)
         st = make_state([0.55, 0.0, 0.031], linvel=(0.5, 0, 0))
-        st = run(st, lib, 300)
+        st = run(st, lib, 1200)
         assert float(jnp.abs(st.obj.linvel[0])) < 0.02, "friction failed to stop slide"
+        assert float(jnp.linalg.norm(st.obj.angvel)) < 0.2, "still rocking"
+        assert abs(float(st.obj.pos[2]) - 0.03) < 2e-3, "not resting on a face"
 
 
 class TestFingers:
