@@ -36,6 +36,15 @@ def create_parser():
     p.add_argument("--max_updates", type=int, default=None)
     p.add_argument("--index_file", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--video", type=int, default=0, metavar="N",
+                   help="record N eval episodes as mp4 + strip PNG "
+                        "(reference: core/utils.py:370-406)")
+    p.add_argument("--expert", action="store_true",
+                   help="evaluate the expert instead of the policy "
+                        "(reference --expert A/B)")
+    p.add_argument("--profile", action="store_true",
+                   help="dump a jax.profiler trace of one eval wave to "
+                        "log_dir/profile")
     return p
 
 
@@ -61,16 +70,46 @@ def main(argv=None):
             print(f"loaded {args.pretrained} @ step {trainer.update_step}")
 
     if args.test:
+        if args.video:
+            # rollout videos (reference: core/utils.py:370-406)
+            import jax
+
+            from gaddpg_tpu.agents.ddpg import make_select_action
+            from gaddpg_tpu.utils.video import record_episode, write_strip, write_video
+
+            select = None if args.expert else make_select_action(cfg.agent)
+            vdir = os.path.join(cfg.output_dir, "videos")
+            for ep in range(args.video):
+                frames, success, _ = record_episode(
+                    trainer.env, trainer.agent_state, select,
+                    jax.random.PRNGKey(1000 + ep),
+                    use_image_policy=cfg.agent.use_image,
+                )
+                tag = f"ep{ep}_{'ok' if success > 0.5 else 'fail'}"
+                write_video(frames, os.path.join(vdir, f"{tag}.mp4"))
+                write_strip(frames, os.path.join(vdir, f"{tag}.png"))
+                print(f"recorded {vdir}/{tag}.mp4 ({len(frames)} frames)")
+
         # evaluation protocol (reference: experiments/scripts/test_ycb.sh:
         # ~200 episodes x 3 runs, mean +- std)
+        import contextlib
+
+        prof = contextlib.nullcontext()
+        if args.profile:
+            import jax
+
+            prof_dir = os.path.join(cfg.output_dir, "profile")
+            prof = jax.profiler.trace(prof_dir, create_perfetto_link=False)
+            print(f"profiling eval to {prof_dir}")
         rates = []
-        for run in range(args.num_runs):
-            n_ep = args.episodes or cfg.num_envs
-            waves = max(1, n_ep // cfg.num_envs)
-            rate, perf = trainer.evaluate(episodes=waves)
-            rates.append(rate)
-            print(f"run {run}: success {rate:.3f}")
-            print(perf.table())
+        with prof:
+            for run in range(args.num_runs):
+                n_ep = args.episodes or cfg.num_envs
+                waves = max(1, n_ep // cfg.num_envs)
+                rate, perf = trainer.evaluate(episodes=waves, expert=args.expert)
+                rates.append(rate)
+                print(f"run {run}: success {rate:.3f}")
+                print(perf.table())
         print(f"overall: {np.mean(rates):.3f} +- {np.std(rates):.3f}")
         return float(np.mean(rates))
 

@@ -200,7 +200,9 @@ class Trainer:
                     self.agent_state, batch, self._next_key(), expert=expert
                 )
             else:
-                out = self.worker.evaluate(self.agent_state, self._next_key())
+                out = self.worker.evaluate(
+                    self.agent_state, self._next_key(), expert=expert
+                )
             v = np.asarray(out["valid_scene"])
             r = np.asarray(out["success"])
             perf.update(np.asarray(out["obj_idx"]), r, v)

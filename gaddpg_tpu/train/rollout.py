@@ -47,7 +47,7 @@ class RolloutWorker:
         # replay stores it (reference: experiments/config.py:105)
         self.use_image = agent_cfg.use_image
         self.rollout = jax.jit(self._rollout, static_argnames=("expert_only",))
-        self.evaluate = jax.jit(self._evaluate)
+        self.evaluate = jax.jit(self._evaluate, static_argnames=("expert",))
         self.evaluate_scenes = jax.jit(
             self._evaluate_scenes, static_argnames=("expert",)
         )
@@ -204,11 +204,11 @@ class RolloutWorker:
         return episodes, valid, rewards, stats
 
     # ------------------------------------------------------------------
-    def _evaluate(self, agent_state, key):
-        """Policy evaluation on freshly randomized scenes."""
+    def _evaluate(self, agent_state, key, expert: bool = False):
+        """Policy (or expert) evaluation on freshly randomized scenes."""
         k_reset, k_run = jax.random.split(key)
         states, obs = self._reset_all(k_reset, self.cfg.num_envs)
-        return self._eval_from(agent_state, states, obs, k_run)
+        return self._eval_from(agent_state, states, obs, k_run, expert=expert)
 
     def _evaluate_scenes(self, agent_state, scenes, key, expert: bool = False):
         """Policy (or expert, for the A/B baseline the reference's

@@ -115,3 +115,147 @@ class TestScenes:
         np.testing.assert_allclose(
             np.asarray(o1.point_state), np.asarray(o2.point_state)
         )
+
+
+class TestReferenceFormats:
+    """Reference-file compatibility: scene .mat import and the buffer
+    .npz layout (reference: core/train_test_offline.py:181-184,
+    core/replay_memory.py:274-356)."""
+
+    def test_mat_scene_import(self, tmp_path):
+        from scipy.io import savemat
+
+        from gaddpg_tpu.envs.scenes import import_mat_scene
+
+        path = str(tmp_path / "scene_0.mat")
+        pose = np.array([0.55, 0.05, 0.06, 1.0, 0.0, 0.0, 0.0], np.float32)
+        joints = np.array([0.0, -1.2, 0.0, -2.6, 0.0, 1.7, 0.8], np.float32)
+        savemat(path, {"pose": pose, "joints": joints,
+                       "target_name": "proxy_box"})
+        scene = import_mat_scene(path, name_to_idx={"proxy_box": 3})
+        np.testing.assert_allclose(scene["obj_pos"][0], pose[:3], atol=1e-6)
+        np.testing.assert_allclose(scene["obj_quat"][0], pose[3:7], atol=1e-6)
+        np.testing.assert_allclose(scene["joints"][0], joints, atol=1e-6)
+
+    def test_mat_scene_resets_env(self, tmp_path):
+        from scipy.io import savemat
+
+        from gaddpg_tpu.envs.scenes import import_mat_scene
+
+        path = str(tmp_path / "scene_1.mat")
+        savemat(path, {
+            "obj_poses": np.array([0.55, 0.0, 0.07, 1.0, 0, 0, 0], np.float32),
+            "init_joints": np.array([0.0, -0.8, 0.0, -2.2, 0.0, 1.6, 0.8],
+                                    np.float32),
+        })
+        scene = import_mat_scene(path)
+        env = PandaGraspEnv(EnvParams(), box_asset(0.05, 0.05, 0.14))
+        s = {k: jnp.asarray(np.asarray(v)[0]) for k, v in scene.items()}
+        state, obs = jax.jit(env.reset_scene)(s, jax.random.PRNGKey(0))
+        assert obs.point_state.shape == (4, 1030)
+        assert abs(float(state.phys.obj.pos[0]) - 0.55) < 0.02
+
+    def test_reference_npz_action_shape(self, tmp_path):
+        # the reference stores actions as (N, 1, 6)
+        # (reference: core/replay_memory.py:368-373)
+        from gaddpg_tpu import replay
+
+        n, pts = 24, 70
+        ep_map = np.repeat(np.arange(2) * 12 + 11, 12)
+        data = {
+            "point_state": np.random.RandomState(0).randn(n, 4, pts),
+            "action": np.random.RandomState(1).rand(n, 1, 6),
+            "expert_action": np.random.RandomState(2).rand(n, 1, 6),
+            "reward": np.zeros(n), "terminal": np.zeros(n),
+            "timestep": np.tile(np.arange(12), 2).astype(np.float64),
+            "returns": np.zeros(n),
+            "state_pose": np.tile(np.eye(4), (n, 1, 1)),
+            "collide": np.zeros(n), "grasp": np.zeros(n),
+            "perturb_flags": np.zeros(n),
+            "goal": np.zeros((n, 7)), "expert_flags": np.ones(n),
+            "target_idx": np.zeros(n), "episode_map": ep_map,
+            "cur_idx": 24,
+        }
+        path = str(tmp_path / "ref_buffer.npz")
+        np.savez(path, **data)
+        buf = replay.load_npz(path, buffer_size=64, num_points=pts)
+        assert buf.action.shape == (64, 6)
+        np.testing.assert_allclose(
+            np.asarray(buf.action[:n]), data["action"][:, 0], atol=1e-6
+        )
+        assert int(buf.filled) == 24
+        batch = replay.sample(buf, jax.random.PRNGKey(0), 8, episode_max_len=4)
+        assert batch["action"].shape == (8, 6)
+
+
+class TestGraspFileIngestion:
+    """ACRONYM h5 / 6dof-graspnet JSON grasp datasets
+    (reference: misc/grasp_data_reader.py:607-700)."""
+
+    def _synthetic_grasps(self, n=20):
+        # top-down grasps around a box at the origin
+        rng = np.random.RandomState(0)
+        T = np.tile(np.eye(4), (n, 1, 1))
+        T[:, :3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], float)
+        T[:, 0, 3] = rng.uniform(-0.01, 0.01, n)
+        T[:, 2, 3] = 0.02 + 0.1034  # closing point at box top
+        return T
+
+    def test_json_roundtrip(self, tmp_path):
+        import json as _json
+
+        from gaddpg_tpu.data.grasp_files import read_grasp_file
+
+        T = self._synthetic_grasps()
+        q = np.concatenate([np.ones(12), np.zeros(8)])
+        path = str(tmp_path / "box_grasps.json")
+        _json.dump({
+            "object": "meshes/box.obj", "object_scale": 1.0,
+            "transforms": T.tolist(),
+            "quality_flex_object_in_gripper": q.tolist(),
+        }, open(path, "w"))
+        g = read_grasp_file(path)
+        assert g["transforms"].shape == (20, 4, 4)
+        assert g["positive"].sum() == 12
+        # frame conversion shifts the origin by +0.0034 along the grasp
+        # +z axis, which points world-down for a top-down grasp
+        np.testing.assert_allclose(
+            g["transforms"][0, 2, 3], T[0, 2, 3] - 0.0034, atol=1e-5
+        )
+
+    def test_h5_roundtrip(self, tmp_path):
+        import h5py
+
+        from gaddpg_tpu.data.grasp_files import read_grasp_file
+
+        T = self._synthetic_grasps()
+        q = np.concatenate([np.ones(15), np.zeros(5)])
+        path = str(tmp_path / "box.h5")
+        with h5py.File(path, "w") as f:
+            f["grasps/transforms"] = T
+            f["grasps/qualities/flex/object_in_gripper"] = q
+            f["object/file"] = np.bytes_(b"meshes/box.obj")
+            f["object/scale"] = 1.0
+        g = read_grasp_file(path)
+        assert g["positive"].sum() == 15
+        assert g["scale"] == 1.0
+        assert g["object_path"] == "meshes/box.obj"
+
+    def test_entry_from_grasp_file(self, tmp_path):
+        import h5py
+
+        from gaddpg_tpu.data.grasp_files import entry_from_grasp_file
+
+        T = self._synthetic_grasps()
+        path = str(tmp_path / "box.h5")
+        with h5py.File(path, "w") as f:
+            f["grasps/transforms"] = T
+            f["grasps/qualities/flex/object_in_gripper"] = np.ones(len(T))
+        tris = box_tris(0.03, 0.03, 0.02)
+        entry = entry_from_grasp_file(path, mesh_tris=tris, mass=0.1, res=12)
+        assert entry["grasps"] is not None and len(entry["grasps"]) > 0
+        assert entry["spheres"].shape[1] == 4
+        # grasps survived the pad-squeeze validation against the spheres
+        lib = library_from_index("ycb", "train")
+        lib2 = mi.extend_library(lib, [entry], ["acronym_box"])
+        assert lib2.names[-1] == "acronym_box"
