@@ -58,6 +58,7 @@ from gaddpg_tpu.render.pointcloud import (
 )
 from gaddpg_tpu.robot.ik import dls_ik, ik_from_seeds
 from gaddpg_tpu.robot.panda import DEFAULT_JOINTS, fk_hand
+from gaddpg_tpu.utils.precision import f32_matmuls
 
 # camera optical frame relative to the hand: optical +z == hand +z
 # (the reference's effective look direction after its GL round trip,
@@ -279,6 +280,7 @@ class PandaGraspEnv:
         return state.replace(pc=pc), obs, vis_depth
 
     # ------------------------------------------------------------------
+    @f32_matmuls
     def sample_scene(self, key, obj_idx=None):
         """Randomize a scene (reference: env/panda_scene.py:995-1035,
         777-827). Returns a Scene dict usable with `reset_scene`.
@@ -361,6 +363,7 @@ class PandaGraspEnv:
             "clutter_quat": clutter_quat,
         }
 
+    @f32_matmuls
     def reset_scene(self, scene, key) -> Tuple[EnvState, Observation]:
         """Deterministic reset from a Scene dict (the scene-file protocol,
         reference: env/panda_scene.py:336-343 place_objects_from_scene)."""
@@ -447,6 +450,7 @@ class PandaGraspEnv:
         )
         return state.replace(valid_scene=valid), obs
 
+    @f32_matmuls
     def reset(self, key, obj_idx=None) -> Tuple[EnvState, Observation]:
         """Randomized episode reset: sample a scene, then init from it.
 
@@ -534,6 +538,7 @@ class PandaGraspEnv:
         return depth_h | fallen | timeout
 
     # ------------------------------------------------------------------
+    @f32_matmuls
     def step(self, state: EnvState, action, key):
         """One policy step. Returns (state, obs, reward, done, info)."""
         state = self._apply_action(state, action)
@@ -582,6 +587,7 @@ class PandaGraspEnv:
             collided_before=states.collided_before | collided,
         )
 
+    @f32_matmuls
     def step_batched(self, states: EnvState, actions, keys, requery_goal=None):
         """Batched step() over (B,) states; keys (B, 2)-shaped PRNG keys.
 
@@ -620,6 +626,7 @@ class PandaGraspEnv:
         }
         return states, obs, reward, states.done, info
 
+    @f32_matmuls
     def step_joint(self, states: EnvState, q_targets, keys):
         """Joint-space action variant (PandaJointSpace / config actions,
         reference: env/panda_scene.py:744-747): absolute 9-dof targets
@@ -639,6 +646,7 @@ class PandaGraspEnv:
         )
         return states, obs
 
+    @f32_matmuls
     def retract_batched(self, states: EnvState, keys):
         """Batched retract(): close fingers, lift, score."""
         p = self.p
@@ -670,6 +678,7 @@ class PandaGraspEnv:
         return states, lifted.astype(jnp.float32)
 
     # ------------------------------------------------------------------
+    @f32_matmuls
     def retract(self, state: EnvState, key):
         """Close fingers, lift 10 x 3 cm, score the lift
         (reference: env/panda_scene.py:455-494)."""
@@ -703,6 +712,7 @@ class PandaGraspEnv:
         return state, reward
 
     # ------------------------------------------------------------------
+    @f32_matmuls
     def replan(self, state: EnvState) -> EnvState:
         """(Re)compute the expert trajectory from the current joints to
         the current grasp goal around the clutter (the reference replans
@@ -722,6 +732,7 @@ class PandaGraspEnv:
             plan=plan, plan_ok=ok, plan_step=jnp.asarray(0, jnp.int32)
         )
 
+    @f32_matmuls
     def expert_action(self, state: EnvState):
         """Expert action: plan-following (clutter/planner mode) or the
         straight goal servo (single-object scenes)."""
@@ -729,6 +740,7 @@ class PandaGraspEnv:
             return plan_action(self._hand(state), state.plan, state.plan_step)
         return servo_expert_action(self._hand(state), self._goal_world(state))
 
+    @f32_matmuls
     def expert_steps(self, state: EnvState):
         if self.p.use_planner:
             return jnp.asarray(float(PLAN_STEPS))

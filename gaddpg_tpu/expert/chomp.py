@@ -25,6 +25,7 @@ from gaddpg_tpu.geometry.se3 import se3_inverse
 from gaddpg_tpu.models.heads import TASK6D_HIGH
 from gaddpg_tpu.robot.ik import dls_ik, ik_from_seeds
 from gaddpg_tpu.robot.panda import JOINT_LOWER, JOINT_UPPER, fk_hand
+from gaddpg_tpu.utils.precision import f32_matmuls
 
 STANDOFF_DIST = 0.08     # reference: experiments/config.py:220
 APPROACH_STEPS = 16      # optimized waypoints to the standoff pose
@@ -121,6 +122,7 @@ def _traj_cost(free_q, q0, q_end, spheres, target_spheres, table_z,
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@f32_matmuls
 def plan_to_goal(q0, goal_pose, obstacle_spheres, iters: int = 30,
                  table_z: float = 0.0, lr: float = 0.2,
                  w_smooth: float = 1.0, w_obs: float = 50.0,

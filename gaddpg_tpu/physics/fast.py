@@ -30,6 +30,7 @@ import numpy as np
 from gaddpg_tpu.geometry.rotations import quat_mul, quat_rotate, quat_normalize
 from gaddpg_tpu.physics.contact import clamp_passive_delta
 from gaddpg_tpu.physics.types import PhysicsParams, PhysicsState
+from gaddpg_tpu.utils.precision import f32_matmuls
 from gaddpg_tpu.robot.panda import _ORIGINS, _T_HAND
 
 # ---------------------------------------------------------------------------
@@ -92,6 +93,7 @@ def arm_trajectory(p: PhysicsParams, q0, qd0, q_tgt, n: int):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("p", "substeps"))
+@f32_matmuls
 def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
                       mass, inertia, substeps=None):
     """Advance a (B,)-batched PhysicsState by `substeps` 1-ms ticks.

@@ -25,6 +25,7 @@ from gaddpg_tpu.physics.contact import (
 )
 from gaddpg_tpu.physics.types import PhysicsParams, PhysicsState
 from gaddpg_tpu.robot.panda import fk_hand
+from gaddpg_tpu.utils.precision import f32_matmuls
 
 
 def _rot_delta_to_omega(r_new, r_old, dt):
@@ -182,6 +183,7 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
 
 
 @partial(jax.jit, static_argnames=("p", "substeps"))
+@f32_matmuls
 def physics_step(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
                  inertia_diag, base_pose, substeps=None):
     """One policy step = `substeps` (default p.substeps) physics substeps.

@@ -12,6 +12,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from gaddpg_tpu.utils.precision import f32_matmuls
 from gaddpg_tpu.robot.panda import (
     ANCHOR_SEEDS,
     JOINT_LOWER,
@@ -42,6 +43,7 @@ def _pose_error(q, target_pos, target_rot):
 
 
 @partial(jax.jit, static_argnames=("iters", "pos_only"))
+@f32_matmuls
 def dls_ik(
     seed_q,
     target_pos,
@@ -79,6 +81,7 @@ def dls_ik(
 
 
 @partial(jax.jit, static_argnames=("iters", "pos_only"))
+@f32_matmuls
 def ik_from_seeds(
     target_pos,
     target_rot,
