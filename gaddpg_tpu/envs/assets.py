@@ -23,6 +23,7 @@ the hand origin along +z.
 
 import dataclasses
 import json
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -350,7 +351,19 @@ def _build_one(spec: AssetSpec):
     return sph, surf, extents, spec.mass, inertia, g, gv, rest_h
 
 
+def empty_library() -> ObjectLibrary:
+    z = lambda *shape: jnp.zeros(shape)
+    return ObjectLibrary(
+        names=[], spheres=z(0, NS, 4), surface_points=z(0, NP, 3),
+        extents=z(0, 3), mass=z(0), inertia=z(0, 3),
+        grasps=z(0, NG, 4, 4), grasp_valid=jnp.zeros((0, NG), bool),
+        rest_height=z(0),
+    )
+
+
 def build_library(specs: Sequence[AssetSpec]) -> ObjectLibrary:
+    if not specs:
+        return empty_library()
     rows = [_build_one(s) for s in specs]
     stack = lambda i: jnp.asarray(np.stack([r[i] for r in rows]))
     return ObjectLibrary(
@@ -367,16 +380,56 @@ def build_library(specs: Sequence[AssetSpec]) -> ObjectLibrary:
 
 
 def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrary:
-    """Build the library named after a reference object-index file."""
+    """Build the library named after a reference object-index file.
+
+    Besides the built-in proxy libraries, `index` may be a path to a
+    mesh-index JSON (the filter_shapenet.json pattern, reference:
+    experiments/object_index/filter_shapenet.json +
+    env/panda_scene.py:523-573): {"train": [...], "test": [...]} where
+    each entry is {"name", "obj" (path), optional "grasps" (h5/json
+    path), optional "scale"/"mass"} -- loaded through the native mesh
+    pipeline and appended to the library format.
+    """
     if index == "ycb":
         specs = ycb_proxy_specs()
         if split == "test":
             specs = [s for s in specs if s.name != "019_pitcher_base"]
     elif index == "extra_shape":
         specs = extra_shape_specs()
+    elif index.endswith(".json") and os.path.exists(index):
+        return library_from_mesh_index(index, split)
     else:
         raise ValueError(index)
     return build_library(specs)
+
+
+def library_from_mesh_index(path: str, split: str = "train") -> ObjectLibrary:
+    """Mesh-index JSON -> ObjectLibrary via the native asset pipeline."""
+    import json
+
+    from gaddpg_tpu.data.grasp_files import read_grasp_file
+    from gaddpg_tpu.data.mesh_import import asset_from_mesh, extend_library, load_obj
+
+    with open(path) as f:
+        idx = json.load(f)
+    entries = idx[split] if isinstance(idx, dict) else idx
+    root = os.path.dirname(os.path.abspath(path))
+
+    def resolve(p):
+        return p if os.path.isabs(p) else os.path.join(root, p)
+
+    built, names = [], []
+    for e in entries:
+        tris = load_obj(resolve(e["obj"]), scale=float(e.get("scale", 1.0)))
+        grasps = None
+        if e.get("grasps"):
+            g = read_grasp_file(resolve(e["grasps"]))
+            grasps = g["transforms"][g["positive"]]
+        built.append(
+            asset_from_mesh(tris, mass=e.get("mass"), grasps=grasps)
+        )
+        names.append(e["name"])
+    return extend_library(empty_library(), built, names)
 
 
 def box_asset(w, d, h, mass=0.2, name="box") -> ObjectLibrary:

@@ -259,3 +259,43 @@ class TestGraspFileIngestion:
         lib = library_from_index("ycb", "train")
         lib2 = mi.extend_library(lib, [entry], ["acronym_box"])
         assert lib2.names[-1] == "acronym_box"
+
+
+class TestMeshIndex:
+    """filter_shapenet-style mesh index -> library
+    (reference: experiments/object_index/filter_shapenet.json,
+    env/panda_scene.py:523-573)."""
+
+    def test_index_json_builds_library(self, tmp_path):
+        import json as _json
+
+        from gaddpg_tpu.envs.assets import library_from_index
+
+        # write two meshes + an index file
+        for name, dims in (("boxy", (0.025, 0.025, 0.05)),
+                           ("slab", (0.04, 0.02, 0.035))):
+            tris = box_tris(*dims).reshape(-1, 3)
+            with open(tmp_path / f"{name}.obj", "w") as f:
+                for v in tris:
+                    f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+                for i in range(0, len(tris), 3):
+                    f.write(f"f {i+1} {i+2} {i+3}\n")
+        idx = {
+            "train": [
+                {"name": "boxy", "obj": "boxy.obj", "mass": 0.1},
+                {"name": "slab", "obj": "slab.obj"},
+            ],
+            "test": [{"name": "slab", "obj": "slab.obj"}],
+        }
+        ipath = str(tmp_path / "mesh_index.json")
+        _json.dump(idx, open(ipath, "w"))
+        lib = library_from_index(ipath, "train")
+        assert lib.num_objects == 2
+        assert lib.names == ["boxy", "slab"]
+        assert bool(lib.grasp_valid.any())  # antipodal grasps generated
+        lib_t = library_from_index(ipath, "test")
+        assert lib_t.num_objects == 1
+        # the library drives an env end to end
+        env = PandaGraspEnv(EnvParams(reset_tries=1), lib)
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        assert obs.point_state.shape == (4, 1030)
