@@ -39,6 +39,11 @@ MAX_UPDATES = int(os.environ.get("MAX_UPDATES", 4000))
 MAX_HOURS = float(os.environ.get("MAX_HOURS", 7.0))
 BATCH = int(os.environ.get("BATCH", 64))
 NUM_SCENES = int(os.environ.get("NUM_SCENES", 200))
+# DAgger rounds after the pure-BC phase (the reference's bc_aux_dagger
+# recipe: explore episodes with expert relabels fix the distribution
+# shift pure BC suffers, reference: experiments/cfgs/bc_aux_dagger.yaml)
+DAGGER_WAVES = int(os.environ.get("DAGGER_WAVES", 60))
+DAGGER_UPDATES_PER_WAVE = int(os.environ.get("DAGGER_UPDATES_PER_WAVE", 40))
 
 
 def log(msg):
@@ -51,6 +56,9 @@ def log(msg):
 def main():
     os.makedirs(OUT, exist_ok=True)
     t_start = time.time()
+    buffer_size = max(
+        TARGET_TRANSITIONS + DAGGER_WAVES * ENVS * 26 + 2000, 8000
+    )
     cfg = load_config(overrides={
         "num_envs": ENVS,
         "batch_size": BATCH,
@@ -60,8 +68,8 @@ def main():
         "explore_ratio_list": (0.0,),
         "dart": False,
         "dagger": False,
-        "buffer_size": max(TARGET_TRANSITIONS + 2000, 8000),
-        "max_epoch": MAX_UPDATES + 1,
+        "buffer_size": buffer_size,
+        "max_epoch": MAX_UPDATES + DAGGER_WAVES * DAGGER_UPDATES_PER_WAVE + 1,
         "index_file": "ycb",
         "output_dir": OUT,
     }, policy="BC")
@@ -120,8 +128,51 @@ def main():
             log("total time budget hit")
             break
     save_agent(tr.agent_state, OUT)
-    log(f"done: {len(losses)} updates, final bc_loss "
+    log(f"pure-BC phase done: {len(losses)} updates, final bc_loss "
         f"{np.mean(losses[-25:]) if losses else float('nan'):.4f}")
+
+    # phase 4: DAgger rounds -- explore episodes with expert relabels
+    # (reference: experiments/cfgs/bc_aux_dagger.yaml; explore ratio 0.5,
+    # dagger relabels mid-episode, replay keeps explore episodes)
+    if DAGGER_WAVES > 0:
+        import dataclasses
+
+        from gaddpg_tpu.train.rollout import RolloutWorker
+
+        tr.cfg = dataclasses.replace(
+            tr.cfg, dagger=True, explore_ratio=1.0, explore_cap=0.5,
+            explore_ratio_list=(0.5,),
+        )
+        # fresh worker: the dagger/explore flags are baked into the
+        # jitted rollout at trace time
+        tr.worker = RolloutWorker(tr.env, tr.cfg.agent, tr.cfg)
+        d_losses = []
+        for w in range(DAGGER_WAVES):
+            stats = tr.collect()
+            for _ in range(DAGGER_UPDATES_PER_WAVE):
+                m = tr.train_iter()
+                if m:
+                    d_losses.append(m.get("bc_loss", float("nan")))
+            if (w + 1) % 10 == 0:
+                log(f"dagger wave {w+1}: rollout_success="
+                    f"{stats['rollout_success']:.2f} "
+                    f"bc_loss={np.mean(d_losses[-40:]):.4f} "
+                    f"buffer={stats['buffer_idx']}")
+                save_agent(tr.agent_state, OUT)
+            if time.time() - t_start > MAX_HOURS * 3600:
+                log("total time budget hit in dagger phase")
+                break
+        save_agent(tr.agent_state, OUT)
+        with open(os.path.join(OUT, "train_stats.json"), "w") as f:
+            json.dump({
+                "updates": int(tr.agent_state.update_step),
+                "n_data": n_data,
+                "dagger_waves": w + 1,
+                "loss_first25": float(np.mean(losses[:25])) if losses else None,
+                "loss_last25": float(np.mean(d_losses[-25:])) if d_losses else None,
+            }, f)
+        log(f"dagger phase done: {len(d_losses)} updates, bc_loss "
+            f"{np.mean(d_losses[-25:]) if d_losses else float('nan'):.4f}")
 
 
 if __name__ == "__main__":

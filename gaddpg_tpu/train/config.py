@@ -128,6 +128,14 @@ _RL_TRAIN_MAP = {
     "mix_value_ratio_list": ("agent", "mix_value_ratio_list"),
 }
 
+# env-level keys (EnvParams fields settable from experiment YAML)
+_ENV_MAP = {
+    "num_clutter": "num_clutter",
+    "use_planner": "use_planner",
+    "RL_MAX_STEP_ENV": "max_steps",
+    "reset_tries": "reset_tries",
+}
+
 _TOP_MAP = {
     "RL_MEMORY_SIZE": "buffer_size",
     "ONPOLICY_MEMORY_SIZE": "online_buffer_size",
@@ -143,6 +151,7 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None,
     """Build a TrainConfig, optionally overlaying a reference-style YAML."""
     train_kw = {}
     agent_kw = {}
+    env_kw = {}
 
     def apply(d: dict):
         for k, v in d.items():
@@ -158,6 +167,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None,
                 if _TOP_MAP[k] == "online_buffer_size" and v2 == -1:
                     v2 = 0
                 train_kw[_TOP_MAP[k]] = v2
+            elif k in _ENV_MAP:
+                env_kw[_ENV_MAP[k]] = v
 
     if path:
         with open(path) as f:
@@ -170,7 +181,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None,
     if policy:
         train_kw["policy"] = policy
 
-    cfg = TrainConfig(agent=AgentConfig(**agent_kw), **train_kw)
+    env = EnvParams(**env_kw) if env_kw else EnvParams()
+    cfg = TrainConfig(agent=AgentConfig(**agent_kw), env=env, **train_kw)
     if cfg.agent.use_image and not cfg.env.use_image:
         # image mode: render RGBDM at the agent's input resolution (the
         # reference renders 112x112 for ResNet, core/networks.py:129-132)

@@ -299,3 +299,22 @@ class TestMeshIndex:
         env = PandaGraspEnv(EnvParams(reset_tries=1), lib)
         state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
         assert obs.point_state.shape == (4, 1030)
+
+
+class TestVideoUtils:
+    def test_rgbdm_to_rgb_and_strip(self, tmp_path):
+        from gaddpg_tpu.utils.video import rgbdm_to_rgb, write_strip, write_video
+
+        frames = np.zeros((5, 5, 16, 16), np.float32)
+        frames[:, :3] = 0.5
+        frames[:, 3] = 0.4
+        frames[:, 4] = 1.0
+        frames[2, 4, 4:12, 4:12] = 0.0  # target blob in frame 2
+        img = rgbdm_to_rgb(frames[2])
+        assert img.shape == (16, 48, 3) and img.dtype == np.uint8
+        # mask panel: target pixels white
+        assert img[8, 32 + 8, 0] == 255 and img[0, 32, 0] == 0
+        p = write_strip(frames, str(tmp_path / "strip.png"))
+        assert (tmp_path / "strip.png").exists()
+        write_video(frames, str(tmp_path / "clip.gif"), fps=4)
+        assert (tmp_path / "clip.gif").exists()
