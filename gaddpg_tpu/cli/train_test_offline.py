@@ -86,9 +86,9 @@ def main(argv=None):
                     use_image_policy=cfg.agent.use_image,
                 )
                 tag = f"ep{ep}_{'ok' if success > 0.5 else 'fail'}"
-                write_video(frames, os.path.join(vdir, f"{tag}.mp4"))
+                write_video(frames, os.path.join(vdir, f"{tag}.gif"))
                 write_strip(frames, os.path.join(vdir, f"{tag}.png"))
-                print(f"recorded {vdir}/{tag}.mp4 ({len(frames)} frames)")
+                print(f"recorded {vdir}/{tag}.gif ({len(frames)} frames)")
 
         # evaluation protocol (reference: experiments/scripts/test_ycb.sh:
         # ~200 episodes x 3 runs, mean +- std)

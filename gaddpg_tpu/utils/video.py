@@ -30,7 +30,10 @@ def rgbdm_to_rgb(frame: np.ndarray) -> np.ndarray:
 
 
 def write_video(frames: Sequence[np.ndarray], path: str, fps: int = 6):
-    """Frames (T, 5, H, W) RGBDM (or (T, H, W, 3) uint8) -> mp4/gif."""
+    """Frames (T, 5, H, W) RGBDM (or (T, H, W, 3) uint8) -> gif/mp4.
+
+    GIF needs no native encoder (PIL backend); mp4 works when an ffmpeg
+    backend is installed."""
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -39,7 +42,10 @@ def write_video(frames: Sequence[np.ndarray], path: str, fps: int = 6):
         else np.asarray(f)
         for f in frames
     ]
-    imageio.mimsave(path, imgs, fps=fps)
+    if path.endswith(".gif"):
+        imageio.mimsave(path, imgs, duration=int(1000 / fps), loop=0)
+    else:
+        imageio.mimsave(path, imgs, fps=fps)
     return path
 
 
