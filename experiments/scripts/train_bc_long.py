@@ -44,6 +44,9 @@ NUM_SCENES = int(os.environ.get("NUM_SCENES", 200))
 # shift pure BC suffers, reference: experiments/cfgs/bc_aux_dagger.yaml)
 DAGGER_WAVES = int(os.environ.get("DAGGER_WAVES", 60))
 DAGGER_UPDATES_PER_WAVE = int(os.environ.get("DAGGER_UPDATES_PER_WAVE", 40))
+# DART perturbation on expert episodes (recovery-state supervision,
+# reference: env/panda_scene.py:1069-1076; excluded from the critic)
+DART = os.environ.get("DART", "0") == "1"
 
 
 def log(msg):
@@ -66,7 +69,7 @@ def main():
         "explore_ratio": 0.0,
         "explore_cap": 0.0,
         "explore_ratio_list": (0.0,),
-        "dart": False,
+        "dart": DART,
         "dagger": False,
         "buffer_size": buffer_size,
         "max_epoch": MAX_UPDATES + DAGGER_WAVES * DAGGER_UPDATES_PER_WAVE + 1,

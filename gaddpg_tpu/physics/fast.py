@@ -139,6 +139,7 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         axis=1,
     )
     off_p_const = jnp.broadcast_to(jnp.asarray(p.palm_center), (B, 3))
+    _dvw_caps = jnp.array([[p.contact_dv_max], [p.contact_dw_max]])  # (2, 1)
 
     def substep(carry, xs):
         pos, quat, linvel, angvel, q_f, grip_any = carry
@@ -235,14 +236,17 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         f_contact = jnp.sum(f_n, axis=1)
         torque = jnp.sum(jnp.cross(r_c, f_n), axis=1)
         # passive-contact dv/dw cap (see PhysicsParams.contact_dv_max):
-        # braking up to reversal is free, speed gain is capped
-        dv_c = clamp_passive_delta(
-            p.dt * f_contact / mass_c, linvel, p.contact_dv_max
-        )
+        # braking up to reversal is free, speed gain is capped. Linear
+        # and angular halves share one (B, 2, 3) clamp call -- the scan
+        # body pays per HLO op, so halving the op count matters here.
         tau_b0 = quat_rotate(q_c, torque)
         dw_body = p.dt * tau_b0 * inv_inertia
         w_body = quat_rotate(q_c, angvel)
-        dw_c_body = clamp_passive_delta(dw_body, w_body, p.contact_dw_max)
+        dv_pair = jnp.stack([p.dt * f_contact / mass_c, dw_body], axis=1)
+        v_pair = jnp.stack([linvel, w_body], axis=1)
+        d_pair = clamp_passive_delta(dv_pair, v_pair, _dvw_caps)
+        dv_c = d_pair[:, 0]
+        dw_c_body = d_pair[:, 1]
 
         # gyroscopic term + I^-1 application via body frame
         gyro_b = jnp.cross(w_body, inertia * w_body)
