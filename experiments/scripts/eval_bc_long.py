@@ -50,6 +50,10 @@ def main():
         "num_envs": ENVS, "index_file": "ycb", "output_dir": OUT,
     }, policy="BC")
     lib = library_from_index("ycb", "train")
+    if os.environ.get("VERIFY_GRASPS", "1") == "1":
+        from gaddpg_tpu.envs.assets import verify_library_grasps
+        lib = verify_library_grasps(lib)  # physics-verified grasp DB
+
     tr = Trainer(cfg, lib=lib)
 
     results = {}

@@ -1,0 +1,33 @@
+"""Generate the procedural ShapeNet-scale object index (OBJ files + JSON).
+
+The stand-in for downloading ShapeNet/ACRONYM (reference:
+experiments/object_index/filter_shapenet.json, 1216 train / 2130 test):
+writes `meshes/*.obj` + `proc_shapenet.json` under --out, loadable via
+
+    library_from_index("<out>/proc_shapenet.json", split="train")
+
+which runs every OBJ through the native voxel-fill/sphere-pack/grasp
+pipeline exactly as a real mesh download would.
+
+Usage: python experiments/scripts/gen_proc_shapenet.py \
+           [--out output/proc_shapenet] [--train 120] [--test 40]
+"""
+
+import argparse
+
+from gaddpg_tpu.data.procgen import export_proc_index
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="output/proc_shapenet")
+    ap.add_argument("--train", type=int, default=120)
+    ap.add_argument("--test", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    path = export_proc_index(args.out, args.train, args.test, seed0=args.seed)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,10 @@ def main():
         "output_dir": OUT,
     }, policy="BC")
     lib = library_from_index("ycb", "train")
+    if os.environ.get("VERIFY_GRASPS", "1") == "1":
+        from gaddpg_tpu.envs.assets import verify_library_grasps
+        lib = verify_library_grasps(lib)  # physics-verified grasp DB
+
     tr = Trainer(cfg, lib=lib)
 
     # phase 1: fixed eval scenes

@@ -148,10 +148,78 @@ def filter_grasps_by_spheres(grasps: np.ndarray, spheres: np.ndarray,
     return grasps[np.asarray(keep)]
 
 
+def verify_grasps_physics(spheres: np.ndarray, mass: float,
+                          inertia: np.ndarray, grasps: np.ndarray,
+                          close_substeps: int = 250,
+                          hold_substeps: int = 750,
+                          disp_tol: float = 0.008) -> np.ndarray:
+    """Physics-verified grasp mask: close on the object, then hold it
+    against gravity in free space.
+
+    The analogue of the ACRONYM datasets' simulation-verified grasp
+    labels and the reference reader's verify-on-load recompute
+    (reference: misc/grasp_data_reader.py:338-357): every candidate is
+    executed in the actual contact simulation (fast_physics_step), all
+    grasps batched as one program. Closing runs at zero gravity (the
+    object is unsupported in the test rig), holding runs with gravity;
+    a grasp passes if the object stays within `disp_tol` of where it
+    started. Geometric filters cannot see squirt-out failures -- a pad
+    edge-contacting a bulging sphere near a rim ejects the object even
+    though the footprint test passes; this does.
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as R
+
+    from gaddpg_tpu.physics.fast import fast_physics_step
+    from gaddpg_tpu.physics.types import (
+        ArmState, BodyState, PhysicsParams, PhysicsState,
+    )
+    from gaddpg_tpu.robot.panda import DEFAULT_JOINTS, fk_hand
+
+    G = len(grasps)
+    hand = np.asarray(fk_hand(DEFAULT_JOINTS))
+    # object pose aligning each grasp with the canonical hand pose
+    obj_T = hand @ np.linalg.inv(np.asarray(grasps, np.float64))
+    pos = obj_T[:, :3, 3].astype(np.float32)
+    quat = np.roll(R.from_matrix(obj_T[:, :3, :3]).as_quat(), 1, axis=-1)
+
+    q_open = np.concatenate([np.asarray(DEFAULT_JOINTS), [0.04, 0.04]])
+    q_closed = q_open.copy()
+    q_closed[7:9] = 0.0
+    arm = ArmState(
+        q=jnp.tile(jnp.asarray(q_open, jnp.float32), (G, 1)),
+        qd=jnp.zeros((G, 7)),
+        q_target=jnp.tile(jnp.asarray(q_closed, jnp.float32), (G, 1)),
+    )
+    state = PhysicsState(
+        arm=arm,
+        obj=BodyState(
+            pos=jnp.asarray(pos), quat=jnp.asarray(quat, jnp.float32),
+            linvel=jnp.zeros((G, 3)), angvel=jnp.zeros((G, 3)),
+        ),
+        contact_force=jnp.zeros(G),
+        gripper_contact=jnp.zeros(G, bool),
+    )
+    sph = jnp.tile(jnp.asarray(spheres, jnp.float32)[None], (G, 1, 1))
+    m = jnp.full((G,), float(mass), jnp.float32)
+    it = jnp.tile(jnp.asarray(inertia, jnp.float32)[None], (G, 1))
+
+    p_close = PhysicsParams(gravity=0.0, table_z=-10.0)
+    p_hold = PhysicsParams(table_z=-10.0)
+    state = fast_physics_step(p_close, state, sph, m, it,
+                              substeps=close_substeps)
+    state = fast_physics_step(p_hold, state, sph, m, it,
+                              substeps=hold_substeps)
+    disp = jnp.linalg.norm(state.obj.pos - jnp.asarray(pos), axis=-1)
+    return np.asarray(disp < disp_tol)
+
+
 def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
                     density: float = 300.0, res: int = 24,
                     max_spheres: int = 32, num_surface: int = 1024,
-                    grasps: Optional[np.ndarray] = None, seed: int = 0):
+                    grasps: Optional[np.ndarray] = None, seed: int = 0,
+                    verify: bool = True):
     """Build library-entry arrays from triangles (n, 3, 3).
 
     Returns dict(spheres (NS,4), surface (NP,3), extents (3,), mass,
@@ -173,20 +241,49 @@ def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
     extents = (hi - lo).astype(np.float32)
     volume = float(occ.mean()) * float(np.prod(hi_p - lo_p))
     m = float(mass) if mass is not None else max(volume * density, 0.02)
-    # inertia of the bounding box as a robust estimate
-    inertia = m / 12.0 * np.array(
+
+    # RE-CENTER the asset at its center of mass: BodyState.pos is the
+    # COM (gravity acts there, contact torques and the diagonal inertia
+    # are taken about it), but mesh files use arbitrary frames -- the
+    # YCB mug's origin is its bottom face, and simulating about that
+    # point tips the object over during settle. Uniform-density COM and
+    # inertia from the occupied-voxel distribution (diagonal part, the
+    # physics model's inertia representation).
+    cell = (np.asarray(hi_p) - np.asarray(lo_p)) / res
+    ijk = np.argwhere(occ > 0)
+    if len(ijk) == 0:
+        ijk = np.zeros((1, 3))
+    vox = np.asarray(lo_p) + (ijk + 0.5) * cell
+    com = vox.mean(axis=0).astype(np.float32)
+    d = vox - com
+    m_cell = m / len(vox)
+    inertia = m_cell * np.array(
         [
-            extents[1] ** 2 + extents[2] ** 2,
-            extents[0] ** 2 + extents[2] ** 2,
-            extents[0] ** 2 + extents[1] ** 2,
+            (d[:, 1] ** 2 + d[:, 2] ** 2).sum(),
+            (d[:, 0] ** 2 + d[:, 2] ** 2).sum(),
+            (d[:, 0] ** 2 + d[:, 1] ** 2).sum(),
         ],
         np.float32,
     )
     inertia = np.maximum(inertia, 1e-5)
-    rest_height = float(-lo[2])
+
+    spheres = spheres.copy()
+    spheres[:, :3] -= com
+    surface = surface - com
+    rest_height = float(com[2] - lo[2])
+    generated = grasps is None
     if grasps is None:
         grasps = antipodal_grasps(tris, seed=seed)
+    if grasps is not None and len(grasps):
+        grasps = grasps.copy()
+        grasps[:, :3, 3] -= com
     grasps = filter_grasps_by_spheres(grasps, spheres)
+    # physics-verify GENERATED candidates; externally provided grasp
+    # DBs (ACRONYM et al.) carry their own simulation-verified labels
+    # and only get the geometric pad-squeeze check, like the reference
+    if generated and grasps is not None and len(grasps) and verify:
+        held = verify_grasps_physics(spheres, m, inertia, grasps)
+        grasps = grasps[held]
     if grasps is not None and len(grasps) == 0:
         grasps = None
     return {
@@ -204,7 +301,9 @@ def extend_library(lib, entries, names):
     """Append mesh-derived entries to an ObjectLibrary (padded)."""
     import jax.numpy as jnp
 
-    from gaddpg_tpu.envs.assets import NG, NP, NS, ObjectLibrary
+    from gaddpg_tpu.envs.assets import (
+        NG, NP, NS, ObjectLibrary, coarse_sphere_subset,
+    )
 
     def pad_rows(a, n, fill=0.0):
         out = np.full((n,) + a.shape[1:], fill, np.float32)
@@ -212,10 +311,12 @@ def extend_library(lib, entries, names):
         return out
 
     sph, surf, ext, mass, inert, gr, gv, rh = [], [], [], [], [], [], [], []
+    crs = []
     for e in entries:
         s = pad_rows(e["spheres"], NS)
         s[len(e["spheres"]):, 2] = 1e3  # park padding spheres
         sph.append(s)
+        crs.append(coarse_sphere_subset(s))
         sp = e["surface"]
         if len(sp) < NP:
             sp = np.concatenate([sp, sp[np.arange(NP - len(sp)) % len(sp)]])
@@ -237,6 +338,7 @@ def extend_library(lib, entries, names):
     return ObjectLibrary(
         names=lib.names + list(names),
         spheres=cat(lib.spheres, sph),
+        coarse_spheres=cat(lib.coarse_spheres, crs),
         surface_points=cat(lib.surface_points, surf),
         extents=cat(lib.extents, ext),
         mass=jnp.concatenate([lib.mass, jnp.asarray(mass)]),

@@ -35,6 +35,34 @@ GRIPPER_MAX_WIDTH = 0.078   # usable opening (0.08 minus margin)
 NS = 32    # spheres per object (padded; contact cost is linear in NS)
 NP = 1024  # surface points per object (padded; point-splat render density)
 NG = 64    # grasps per object (padded)
+NC = 12    # coarse spheres per object (object<->object contact proxies)
+
+
+def coarse_sphere_subset(sph: np.ndarray, target: int = NC) -> np.ndarray:
+    """Greedy farthest-point subset of a sphere set (host-side).
+
+    Object-object contact (physics/multi.py) runs on NC x NC sphere
+    pairs per body pair; a dozen well-spread spheres capture the shape
+    at ~7x less contact work than the full NS set. Starts from the
+    largest sphere, then maximizes center spread. Padding rows are
+    radius 0 parked at z=1e3, like the NS padding.
+    """
+    sph = np.asarray(sph, dtype=np.float64)
+    live = sph[sph[:, 3] > 0]
+    out = np.zeros((target, 4))
+    out[:, 2] = 1e3
+    if len(live) == 0:
+        return out
+    chosen = [int(np.argmax(live[:, 3]))]
+    d = np.linalg.norm(live[:, :3] - live[chosen[0], :3], axis=1)
+    while len(chosen) < min(target, len(live)):
+        i = int(np.argmax(d))
+        if d[i] <= 0 and len(chosen) >= 1:
+            break
+        chosen.append(i)
+        d = np.minimum(d, np.linalg.norm(live[:, :3] - live[i, :3], axis=1))
+    out[: len(chosen)] = live[chosen]
+    return out
 
 
 @dataclasses.dataclass
@@ -281,6 +309,7 @@ class ObjectLibrary:
 
     names: List[str]
     spheres: jnp.ndarray        # (O, NS, 4) centers+radius, radius 0 = pad
+    coarse_spheres: jnp.ndarray # (O, NC, 4) subset for object<->object contact
     surface_points: jnp.ndarray # (O, NP, 3)
     extents: jnp.ndarray        # (O, 3) full extents
     mass: jnp.ndarray           # (O,)
@@ -348,13 +377,15 @@ def _build_one(spec: AssetSpec):
         gv[i] = True
     # inertia floor keeps the implicit integrator well-conditioned
     inertia = np.maximum(inertia, 1e-5)
-    return sph, surf, extents, spec.mass, inertia, g, gv, rest_h
+    coarse = coarse_sphere_subset(sph)
+    return sph, surf, extents, spec.mass, inertia, g, gv, rest_h, coarse
 
 
 def empty_library() -> ObjectLibrary:
     z = lambda *shape: jnp.zeros(shape)
     return ObjectLibrary(
-        names=[], spheres=z(0, NS, 4), surface_points=z(0, NP, 3),
+        names=[], spheres=z(0, NS, 4), coarse_spheres=z(0, NC, 4),
+        surface_points=z(0, NP, 3),
         extents=z(0, 3), mass=z(0), inertia=z(0, 3),
         grasps=z(0, NG, 4, 4), grasp_valid=jnp.zeros((0, NG), bool),
         rest_height=z(0),
@@ -369,6 +400,7 @@ def build_library(specs: Sequence[AssetSpec]) -> ObjectLibrary:
     return ObjectLibrary(
         names=[s.name for s in specs],
         spheres=stack(0),
+        coarse_spheres=stack(8),
         surface_points=stack(1),
         extents=stack(2),
         mass=jnp.asarray(np.array([r[3] for r in rows])),
@@ -377,6 +409,38 @@ def build_library(specs: Sequence[AssetSpec]) -> ObjectLibrary:
         grasp_valid=stack(6),
         rest_height=jnp.asarray(np.array([r[7] for r in rows])),
     )
+
+
+def verify_library_grasps(lib: ObjectLibrary) -> ObjectLibrary:
+    """Physics-verify every grasp in the library and mask out failures.
+
+    Runs the close-and-hold rig (data/mesh_import.verify_grasps_physics)
+    over all (object, grasp) pairs as ONE batched program -- the
+    library-wide analogue of ACRONYM's simulation-verified grasp labels
+    (reference: misc/grasp_data_reader.py:338-357). Objects where no
+    grasp survives keep their analytic set (better a shaky grasp DB
+    than an ungraspable object)."""
+    import numpy as np
+
+    from gaddpg_tpu.data.mesh_import import verify_grasps_physics
+
+    O = lib.num_objects
+    if O == 0:
+        return lib
+    gv = np.asarray(lib.grasp_valid).copy()
+    sph = np.asarray(lib.spheres)
+    grs = np.asarray(lib.grasps)
+    masses = np.asarray(lib.mass)
+    inert = np.asarray(lib.inertia)
+    held = np.zeros_like(gv)
+    for o in range(O):
+        held[o] = verify_grasps_physics(
+            sph[o], float(masses[o]), inert[o], grs[o]
+        )
+    new_gv = gv & held
+    keep = new_gv.any(axis=1)
+    new_gv[~keep] = gv[~keep]
+    return dataclasses.replace(lib, grasp_valid=jnp.asarray(new_gv))
 
 
 def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrary:
@@ -396,6 +460,14 @@ def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrar
             specs = [s for s in specs if s.name != "019_pitcher_base"]
     elif index == "extra_shape":
         specs = extra_shape_specs()
+    elif index.startswith("proc_shapenet"):
+        # procedural ShapeNet-scale sweep through the native mesh
+        # pipeline; "proc_shapenet:N" sets the object count (default 64)
+        from gaddpg_tpu.data.procgen import build_proc_library
+
+        n = int(index.split(":")[1]) if ":" in index else 64
+        seed0 = 0 if split == "train" else 100000
+        return build_proc_library(n, seed0=seed0)
     elif index.endswith(".json") and os.path.exists(index):
         return library_from_mesh_index(index, split)
     else:

@@ -39,6 +39,7 @@ from gaddpg_tpu.geometry.se3 import (
 )
 from gaddpg_tpu.models.heads import TASK6D_HIGH
 from gaddpg_tpu.physics.fast import fast_physics_step
+from gaddpg_tpu.physics.multi import multi_physics_step
 from gaddpg_tpu.physics.step import gripper_box_poses, physics_step
 from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
 from gaddpg_tpu.render.camera import (
@@ -125,10 +126,14 @@ class EnvState:
     collided_before: jnp.ndarray  # bool: any contact so far
     done: jnp.ndarray             # bool
     valid_scene: jnp.ndarray      # bool (check_scene analogue)
-    # static clutter (K = EnvParams.num_clutter; (0,) shapes when unused)
+    # dynamic clutter bodies (K = EnvParams.num_clutter; (0,) when unused)
+    # -- simulated by physics/multi.py, so pushes move/topple them like
+    # the reference's fully simulated obstacles
     clutter_idx: jnp.ndarray      # (K,) int32 library indices
     clutter_pos: jnp.ndarray      # (K, 3)
     clutter_quat: jnp.ndarray     # (K, 4) wxyz
+    clutter_linvel: jnp.ndarray   # (K, 3)
+    clutter_angvel: jnp.ndarray   # (K, 3)
     # expert plan (populated when EnvParams.use_planner)
     plan: jnp.ndarray             # (PLAN_STEPS, 7) joint waypoints
     plan_ok: jnp.ndarray          # bool
@@ -381,13 +386,36 @@ class PandaGraspEnv:
             contact_force=jnp.asarray(0.0),
             gripper_contact=jnp.asarray(False),
         )
-        # settle
-        phys = physics_step(
-            p.physics, phys, self.lib.spheres[obj_idx], self.lib.mass[obj_idx],
-            self.lib.inertia[obj_idx], self.base_pose, substeps=p.settle_substeps,
-        )
-
         K = p.num_clutter
+        clutter_idx = scene.get("clutter_idx", jnp.zeros((K,), jnp.int32))
+        clutter_pos = scene.get("clutter_pos", jnp.zeros((K, 3)))
+        clutter_quat = scene.get(
+            "clutter_quat", jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1))
+        )
+        clutter_vel = jnp.zeros((K, 3))
+        # settle (jointly with the clutter bodies when the scene has any,
+        # so initial penetrations between objects relax before step 0)
+        if K:
+            idx = jnp.concatenate([obj_idx[None], clutter_idx])[None]
+            phys_b = jax.tree_util.tree_map(lambda x: x[None], phys)
+            clut_b = BodyState(
+                pos=clutter_pos[None], quat=clutter_quat[None],
+                linvel=clutter_vel[None], angvel=clutter_vel[None],
+            )
+            phys_b, clut_b, _ = multi_physics_step(
+                p.physics, phys_b, self.lib.spheres[idx],
+                self.lib.coarse_spheres[idx], self.lib.mass[idx],
+                self.lib.inertia[idx], clut_b, substeps=p.settle_substeps,
+            )
+            phys = jax.tree_util.tree_map(lambda x: x[0], phys_b)
+            clutter_pos, clutter_quat = clut_b.pos[0], clut_b.quat[0]
+        else:
+            phys = physics_step(
+                p.physics, phys, self.lib.spheres[obj_idx],
+                self.lib.mass[obj_idx], self.lib.inertia[obj_idx],
+                self.base_pose, substeps=p.settle_substeps,
+            )
+
         state = EnvState(
             phys=phys,
             pc=create_pc_state(p.pc_capacity),
@@ -399,12 +427,11 @@ class PandaGraspEnv:
             collided_before=jnp.asarray(False),
             done=jnp.asarray(False),
             valid_scene=jnp.asarray(True),
-            clutter_idx=scene.get("clutter_idx", jnp.zeros((K,), jnp.int32)),
-            clutter_pos=scene.get("clutter_pos", jnp.zeros((K, 3))),
-            clutter_quat=scene.get(
-                "clutter_quat",
-                jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1)),
-            ),
+            clutter_idx=clutter_idx,
+            clutter_pos=clutter_pos,
+            clutter_quat=clutter_quat,
+            clutter_linvel=jnp.zeros((K, 3)),
+            clutter_angvel=jnp.zeros((K, 3)),
             plan=jnp.tile(q[:7], (PLAN_STEPS, 1)),
             plan_ok=jnp.asarray(True),
             plan_step=jnp.asarray(0, jnp.int32),
@@ -510,15 +537,38 @@ class PandaGraspEnv:
 
     def _physics(self, state: EnvState, substeps=None) -> EnvState:
         p = self.p
-        phys = physics_step(
-            p.physics, state.phys, self.lib.spheres[state.obj_idx],
-            self.lib.mass[state.obj_idx], self.lib.inertia[state.obj_idx],
-            self.base_pose, substeps=substeps,
-        )
-        collided = phys.gripper_contact
-        state = state.replace(phys=phys)
         if p.num_clutter:
-            collided = collided | self._clutter_collision(state, self._hand(state))
+            idx = jnp.concatenate([state.obj_idx[None], state.clutter_idx])[None]
+            phys_b = jax.tree_util.tree_map(lambda x: x[None], state.phys)
+            clut_b = BodyState(
+                pos=state.clutter_pos[None], quat=state.clutter_quat[None],
+                linvel=state.clutter_linvel[None],
+                angvel=state.clutter_angvel[None],
+            )
+            phys_b, clut_b, hit = multi_physics_step(
+                p.physics, phys_b, self.lib.spheres[idx],
+                self.lib.coarse_spheres[idx], self.lib.mass[idx],
+                self.lib.inertia[idx], clut_b, substeps=substeps,
+            )
+            phys = jax.tree_util.tree_map(lambda x: x[0], phys_b)
+            # collision event = physical robot-obstacle contact
+            # (reference: env/panda_scene.py:1078-1095)
+            collided = phys.gripper_contact | hit[0]
+            state = state.replace(
+                phys=phys,
+                clutter_pos=clut_b.pos[0], clutter_quat=clut_b.quat[0],
+                clutter_linvel=clut_b.linvel[0],
+                clutter_angvel=clut_b.angvel[0],
+            )
+        else:
+            phys = physics_step(
+                p.physics, state.phys,
+                self.lib.spheres[state.obj_idx],
+                self.lib.mass[state.obj_idx], self.lib.inertia[state.obj_idx],
+                self.base_pose, substeps=substeps,
+            )
+            collided = phys.gripper_contact
+            state = state.replace(phys=phys)
         return state.replace(
             collided=collided,
             collided_before=state.collided_before | collided,
@@ -568,20 +618,35 @@ class PandaGraspEnv:
     # per-env path spends its time in pathologically small batched ops).
     # ------------------------------------------------------------------
     def _physics_batched(self, states: EnvState, substeps=None) -> EnvState:
-        phys = fast_physics_step(
-            self.p.physics, states.phys,
-            self.lib.spheres[states.obj_idx],
-            self.lib.mass[states.obj_idx],
-            self.lib.inertia[states.obj_idx],
-            substeps=substeps,
-        )
-        collided = phys.gripper_contact
-        states = states.replace(phys=phys)
         if self.p.num_clutter:
-            hits = jax.vmap(
-                lambda s: self._clutter_collision(s, self._hand(s))
-            )(states)
-            collided = collided | hits
+            idx = jnp.concatenate(
+                [states.obj_idx[:, None], states.clutter_idx], axis=1
+            )
+            clut = BodyState(
+                pos=states.clutter_pos, quat=states.clutter_quat,
+                linvel=states.clutter_linvel, angvel=states.clutter_angvel,
+            )
+            phys, clut, hits = multi_physics_step(
+                self.p.physics, states.phys, self.lib.spheres[idx],
+                self.lib.coarse_spheres[idx], self.lib.mass[idx],
+                self.lib.inertia[idx], clut, substeps=substeps,
+            )
+            collided = phys.gripper_contact | hits
+            states = states.replace(
+                phys=phys,
+                clutter_pos=clut.pos, clutter_quat=clut.quat,
+                clutter_linvel=clut.linvel, clutter_angvel=clut.angvel,
+            )
+        else:
+            phys = fast_physics_step(
+                self.p.physics, states.phys,
+                self.lib.spheres[states.obj_idx],
+                self.lib.mass[states.obj_idx],
+                self.lib.inertia[states.obj_idx],
+                substeps=substeps,
+            )
+            collided = phys.gripper_contact
+            states = states.replace(phys=phys)
         return states.replace(
             collided=collided,
             collided_before=states.collided_before | collided,

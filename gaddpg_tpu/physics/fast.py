@@ -287,6 +287,52 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
             j2 = jnp.clip(vt_along / (w_t * share), 0.0, budget) * have
             v_out, w_out = apply_impulse(v_out, w_out, j2)
             budget = budget - j2
+
+        # rigid-set translational stiction pass: per-contact Jacobi
+        # shares are sized by w_t = 1/m + (r x t)^T I^-1 (r x t), which
+        # assumes each impulse also stops slip through rotation -- but
+        # for symmetric contact sets (a two-pad pinch) the angular
+        # responses of opposing contacts CANCEL, so every pass removes
+        # only the ~1/(1 + m*a) linear fraction and a pinched object
+        # creeps out under gravity at ~cm/s. One aggregate impulse stops
+        # the fn-weighted common-mode slip exactly, bounded by the
+        # pooled remaining Coulomb budget; rotation-mode slip stays with
+        # the per-contact passes above.
+        # LINEAR slip only (no w x r term): subtracting a pure function
+        # of v_out is a contraction -- rotational contact motion must
+        # not leak into this pass or a body jammed while rotating gets
+        # translational energy pumped in every substep.
+        v_lin3 = v_out[:, None, :] - v_surf
+        vn3 = jnp.sum(v_lin3 * nrm, axis=-1, keepdims=True)
+        vt3 = (v_lin3 - vn3 * nrm) * have[..., None]
+        fn_sum = jnp.sum(fn, axis=1, keepdims=True)
+        vbar = jnp.sum(fn[..., None] * vt3, axis=1) / jnp.maximum(fn_sum, 1e-9)
+        vbar_n = jnp.linalg.norm(vbar, axis=-1, keepdims=True)
+        pool = jnp.sum(budget, axis=1, keepdims=True)
+        scale = jnp.minimum(1.0, pool / jnp.maximum(mass_c * vbar_n, 1e-9))
+        v_out = v_out - vbar * scale * (fn_sum > 0)
+
+        # torsional (spinning) friction: one impulse pass resisting
+        # rotation about each contact normal through the finite pad
+        # patch (see PhysicsParams.torsion_patch_radius) -- without it a
+        # pinched curved body swings out of the grasp about the closing
+        # axis, which point-contact linear friction cannot resist.
+        if p.torsion_patch_radius > 0:
+            w_surf_ang = jnp.concatenate(
+                [
+                    jnp.zeros((B, ns, 3)),
+                    jnp.broadcast_to(h_ang[:, None, :], (B, 3 * ns, 3)),
+                ],
+                axis=1,
+            )
+            s_rel = jnp.sum((w_out[:, None, :] - w_surf_ang) * nrm, axis=-1)
+            n_b = quat_rotate(q_c[:, None, :], nrm)
+            w_rot = jnp.sum(n_b**2 * inv_inertia[:, None, :], axis=-1)
+            l_cap = p.friction_mu * p.torsion_patch_radius * fn * p.dt
+            lj = jnp.clip(s_rel / (w_rot * share), -l_cap, l_cap) * have
+            dl_b = jnp.sum(n_b * (-lj)[..., None], axis=1)
+            w_out = w_out + quat_rotate(quat, dl_b * inv_inertia)
+
         linvel = jnp.clip(v_out / (1.0 + p.linear_damping * p.dt),
                           -p.max_linvel, p.max_linvel)
         angvel = jnp.clip(w_out / (1.0 + p.angular_damping * p.dt),

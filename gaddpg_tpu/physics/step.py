@@ -141,9 +141,42 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
         return v + d_lin, w + d_ang, budget
 
     cone0 = p.friction_mu * fn * p.dt
-    v_out, w_out, _ = jax.lax.fori_loop(
+    v_out, w_out, budget_left = jax.lax.fori_loop(
         0, p.friction_iters, fric_iter, (v_pred, w_pred, cone0)
     )
+
+    # rigid-set translational stiction pass (see fast.py): per-contact
+    # Jacobi shares under-stop common-mode slip when opposing contacts'
+    # angular responses cancel (deep pinches on light objects); one
+    # aggregate impulse stops the fn-weighted mean slip, bounded by the
+    # pooled remaining Coulomb budget.
+    # linear slip only -- see fast.py for why w x r must be excluded
+    v_lin3 = v_out[None, :] - contacts.surf_vel
+    vn3 = jnp.sum(v_lin3 * contacts.normal, axis=-1, keepdims=True)
+    vt3 = (v_lin3 - vn3 * contacts.normal) * (fn > 0)[:, None]
+    fn_sum = jnp.sum(fn)
+    vbar = jnp.sum(fn[:, None] * vt3, axis=0) / jnp.maximum(fn_sum, 1e-9)
+    vbar_n = jnp.linalg.norm(vbar)
+    pool = jnp.sum(budget_left)
+    scale = jnp.minimum(1.0, pool / jnp.maximum(mass * vbar_n, 1e-9))
+    v_out = v_out - vbar * scale * (fn_sum > 0)
+
+    # torsional (spinning) friction about each contact normal: the pad
+    # patch resists the swing-about-the-closing-axis mode that point
+    # contacts leave free (see PhysicsParams.torsion_patch_radius)
+    if p.torsion_patch_radius > 0:
+        w_surf_ang = jnp.concatenate(
+            [jnp.zeros((ns, 3)), jnp.broadcast_to(hand_ang, (3 * ns, 3))]
+        )
+        s_rel = jnp.sum((w_out[None, :] - w_surf_ang) * contacts.normal, -1)
+        w_rot = jnp.einsum(
+            "ci,ij,cj->c", contacts.normal, inv_iw, contacts.normal
+        )
+        share_t = jnp.maximum(n_active, 1)
+        l_cap = p.friction_mu * p.torsion_patch_radius * fn * p.dt
+        lj = jnp.clip(s_rel / (w_rot * share_t), -l_cap, l_cap) * (fn > 0)
+        w_out = w_out - inv_iw @ jnp.sum(contacts.normal * lj[:, None], axis=0)
+
     linvel = v_out / (1.0 + p.linear_damping * p.dt)
     angvel = w_out / (1.0 + p.angular_damping * p.dt)
     linvel = jnp.clip(linvel, -p.max_linvel, p.max_linvel)

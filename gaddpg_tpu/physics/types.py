@@ -26,6 +26,13 @@ class PhysicsParams:
     # 4 passes needed for clean grasps at dt=2ms (passes 2+ reuse the
     # pass-1 slip direction and are ~4x cheaper than pass 1)
     friction_iters: int = 4
+    # torsional (spinning) friction patch radius: a point contact cannot
+    # resist rotation about its own normal, so a two-point pinch on a
+    # curved body swings freely about the closing axis and the object
+    # pours out of the grasp. Real finger pads resist through the finite
+    # contact patch; torque capacity = mu * fn * this radius (PyBullet
+    # exposes the same knob as spinning friction). 0 disables.
+    torsion_patch_radius: float = 0.006  # m
 
     # object free-body damping (matches PyBullet defaults feel)
     linear_damping: float = 0.04
@@ -65,6 +72,16 @@ class PhysicsParams:
     palm_half_extents: tuple = (0.031, 0.10, 0.028)
     finger_half_extents: tuple = (0.011, 0.009, 0.027)
     finger_z_center: float = 0.0584 + 0.027  # pad center along hand z
+
+    # object<->object contact (physics/multi.py): penalty spring between
+    # coarse sphere sets; per-pair force cap + viscous tangential
+    # friction capped by the Coulomb cone of the pair normal force.
+    obj_obj_max_force: float = 100.0     # N per sphere pair
+    obj_obj_tangent_damping: float = 30.0  # N s/m
+    # ceiling on the relative separation speed the pair spring may
+    # create: overlap relaxes at <= this, impacts rebound at <= this
+    # (near-zero restitution), so deep spawn overlap can never eject
+    obj_obj_sep_vmax: float = 0.10       # m/s
 
     table_z: float = 0.0                 # table top plane in world frame
 

@@ -108,6 +108,23 @@ class TestClutterEnv:
         assert bool(self.env._clutter_collision(state2, hand))
         assert not bool(self.env._clutter_collision(state, hand))
 
+    def test_clutter_is_dynamic(self):
+        # clutter bodies are simulated (physics/multi.py), not props:
+        # a raised one falls back to the table, a settled one stays put
+        state, _ = jax.jit(self.env.reset)(jax.random.PRNGKey(4))
+        lifted = state.replace(
+            clutter_pos=state.clutter_pos.at[0, 2].add(0.10)
+        )
+        stepped = self.env._physics(lifted)  # 150 ms of simulation
+        drop = float(lifted.clutter_pos[0, 2] - stepped.clutter_pos[0, 2])
+        assert drop > 0.05, drop
+        hold = np.linalg.norm(
+            np.asarray(stepped.clutter_pos[1] - state.clutter_pos[1])
+        )
+        assert hold < 0.01, hold
+        # falling obstacle never triggers the robot-collision event
+        assert not bool(stepped.collided)
+
     def test_clutter_occludes_target(self):
         state, obs = jax.jit(self.env.reset)(jax.random.PRNGKey(2))
         hand = self.env._hand(state)

@@ -1,0 +1,187 @@
+"""Multi-body physics (physics/multi.py): clutter bodies are dynamic.
+
+Contracts (behavioral, like the rest of the physics suite):
+- with clutter parked far away the target's trajectory equals the
+  validated single-object fast path;
+- settled clutter next to the target stays put;
+- a moving target transfers momentum to clutter it hits (Newton's third
+  law via the antisymmetric pair-force tensor);
+- gripper-clutter penetration raises the clutter_hit event.
+Reference behavior: PyBullet steps all scene bodies
+(reference: env/panda_scene.py:354-387, 1078-1095).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaddpg_tpu.envs.assets import AssetSpec, build_library
+from gaddpg_tpu.physics.fast import fast_physics_step, fk_hand_batched
+from gaddpg_tpu.physics.multi import multi_physics_step
+from gaddpg_tpu.physics.types import ArmState, BodyState, PhysicsParams, PhysicsState
+from gaddpg_tpu.robot.panda import DEFAULT_JOINTS
+
+P = PhysicsParams()
+
+
+def make_lib():
+    return build_library([
+        AssetSpec("tgt_box", "box", (0.05, 0.05, 0.10), 0.2),
+        AssetSpec("clut_box", "box", (0.06, 0.06, 0.08), 0.3),
+    ])
+
+
+def batched_phys(obj_pos, linvel=(0, 0, 0), q=None):
+    if q is None:
+        q = jnp.concatenate([DEFAULT_JOINTS, jnp.array([0.04, 0.04])])
+    q = q[None]
+    return PhysicsState(
+        arm=ArmState(q=q, qd=jnp.zeros((1, 7)), q_target=q),
+        obj=BodyState(
+            pos=jnp.asarray(obj_pos, jnp.float32)[None],
+            quat=jnp.array([[1.0, 0, 0, 0]]),
+            linvel=jnp.asarray(linvel, jnp.float32)[None],
+            angvel=jnp.zeros((1, 3)),
+        ),
+        contact_force=jnp.zeros(1),
+        gripper_contact=jnp.zeros(1, bool),
+    )
+
+
+def clutter_bodies(positions):
+    k = len(positions)
+    return BodyState(
+        pos=jnp.asarray(positions, jnp.float32)[None],
+        quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, k, 1)),
+        linvel=jnp.zeros((1, k, 3)),
+        angvel=jnp.zeros((1, k, 3)),
+    )
+
+
+def pack_inputs(lib, tgt_idx, clut_idx):
+    idx = jnp.asarray([[tgt_idx] + list(clut_idx)])          # (1, M)
+    return (
+        lib.spheres[idx], lib.coarse_spheres[idx],
+        lib.mass[idx], lib.inertia[idx],
+    )
+
+
+class TestMultiBody:
+    def test_far_clutter_matches_fast_path(self):
+        lib = make_lib()
+        st = batched_phys([0.55, 0.0, 0.0501], linvel=[0.1, 0.0, 0.0])
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1, 1])
+        clut = clutter_bodies([[5.0, 5.0, 5.0], [-5.0, 5.0, 5.0]])
+
+        ref = fast_physics_step(
+            P, st, lib.spheres[jnp.array([0])],
+            lib.mass[jnp.array([0])], lib.inertia[jnp.array([0])],
+        )
+        out, _, hit = multi_physics_step(
+            P, st, sph, coarse, mass, inertia, clut
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.obj.pos), np.asarray(ref.obj.pos), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.obj.linvel), np.asarray(ref.obj.linvel), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.arm.q), np.asarray(ref.arm.q), atol=1e-6
+        )
+        assert not bool(hit[0])
+
+    def test_settled_clutter_stays_put(self):
+        lib = make_lib()
+        st = batched_phys([0.55, 0.0, 0.0501])
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1, 1])
+        clut = clutter_bodies([[0.55, 0.12, 0.0401], [0.45, -0.10, 0.0401]])
+        p0 = np.asarray(clut.pos)
+        for _ in range(3):
+            st, clut, _ = multi_physics_step(
+                P, st, sph, coarse, mass, inertia, clut
+            )
+        drift = np.linalg.norm(np.asarray(clut.pos) - p0, axis=-1)
+        assert drift.max() < 3e-3, drift
+
+    def test_sustained_push_displaces_clutter(self):
+        lib = make_lib()
+        # bulldozer push: the target's forward velocity is replenished
+        # each policy step (as an arm-driven shove would), so the clutter
+        # box ahead of it must be plowed forward, overcoming its table
+        # static friction (~2.4 N)
+        st = batched_phys([0.565, 0.0, 0.0501], linvel=[0.5, 0.0, 0.0])
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1])
+        clut = clutter_bodies([[0.63, 0.0, 0.0401]])
+        x0 = float(clut.pos[0, 0, 0])
+        for _ in range(10):
+            lv = st.obj.linvel.at[:, 0].set(0.5)
+            st = st.replace(obj=st.obj.replace(linvel=lv))
+            st, clut, _ = multi_physics_step(
+                P, st, sph, coarse, mass, inertia, clut
+            )
+        dx = float(clut.pos[0, 0, 0]) - x0
+        assert dx > 8e-3, dx
+        # nothing ejected: everything stays in the tabletop envelope
+        assert float(jnp.abs(clut.pos[0, 0, 2])) < 0.5
+        assert float(jnp.abs(st.obj.pos[0, 2])) < 0.5
+        assert float(jnp.linalg.norm(clut.linvel)) < P.max_linvel
+
+    def test_free_space_x_momentum_conserved(self):
+        lib = make_lib()
+        # collision high above the table: pair forces are the only x-axis
+        # coupling, and they are antisymmetric by construction
+        st = batched_phys([0.50, 0.0, 2.0], linvel=[0.8, 0.0, 0.0])
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1])
+        clut = BodyState(
+            pos=jnp.array([[[0.58, 0.0, 2.0]]]),
+            quat=jnp.array([[[1.0, 0, 0, 0]]]),
+            linvel=jnp.zeros((1, 1, 3)),
+            angvel=jnp.zeros((1, 1, 3)),
+        )
+        m_t, m_c = float(lib.mass[0]), float(lib.mass[1])
+        px0 = m_t * 0.8
+        st, clut, _ = multi_physics_step(
+            P, st, sph, coarse, mass, inertia, clut
+        )
+        px1 = m_t * float(st.obj.linvel[0, 0]) + m_c * float(clut.linvel[0, 0, 0])
+        assert abs(px1 - px0) / px0 < 0.03, (px0, px1)
+        # and momentum actually moved between the bodies
+        assert float(clut.linvel[0, 0, 0]) > 0.05
+
+    def test_overlap_relaxes_without_ejection(self):
+        lib = make_lib()
+        # spawn the pair 2 cm interpenetrated: the pair impulse cap must
+        # relax the overlap gently instead of firing them apart
+        st = batched_phys([0.55, 0.0, 0.0501])
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1])
+        clut = clutter_bodies([[0.585, 0.0, 0.0401]])
+        for _ in range(4):
+            st, clut, _ = multi_physics_step(
+                P, st, sph, coarse, mass, inertia, clut
+            )
+            assert float(jnp.linalg.norm(st.obj.linvel)) < 0.5
+            assert float(jnp.linalg.norm(clut.linvel)) < 0.5
+        # they must have pushed apart (or at least not sunk deeper)
+        gap = float(clut.pos[0, 0, 0] - st.obj.pos[0, 0])
+        assert gap >= 0.035 - 1e-3, gap
+        assert float(st.obj.pos[0, 2]) < 0.3
+        assert float(clut.pos[0, 0, 2]) < 0.3
+
+    def test_gripper_clutter_contact_event(self):
+        lib = make_lib()
+        q = jnp.concatenate([DEFAULT_JOINTS, jnp.array([0.04, 0.04])])
+        hand_pos, _ = fk_hand_batched(q[None, :7])
+        hp = np.asarray(hand_pos[0])
+        st = batched_phys([0.55, 0.3, 0.0501], q=q)
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1])
+        # clutter box centered at the hand -> immediate pad/palm contact
+        clut = clutter_bodies([[float(hp[0]), float(hp[1]), float(hp[2])]])
+        p0 = np.asarray(clut.pos).copy()
+        st, clut, hit = multi_physics_step(
+            P, st, sph, coarse, mass, inertia, clut, substeps=20
+        )
+        assert bool(hit[0])
+        assert not bool(st.gripper_contact[0])  # target is far away
+        moved = np.linalg.norm(np.asarray(clut.pos) - p0)
+        assert moved > 1e-4, moved

@@ -83,6 +83,20 @@ class TestSettle:
         assert float(jnp.linalg.norm(st.obj.angvel)) < 0.2, "still rocking"
         assert abs(float(st.obj.pos[2]) - 0.03) < 2e-3, "not resting on a face"
 
+    def test_torsional_friction_stops_spin(self):
+        # a thin cylinder spinning about its vertical axis on the table:
+        # at r=0.02 its sphere set degenerates to an on-axis column, so
+        # the single table contact sits ON the spin axis -- linear
+        # friction has zero moment arm and only the torsional (patch)
+        # friction can stop it (PhysicsParams.torsion_patch_radius)
+        lib = cylinder_asset(0.02, 0.10, mass=0.35)
+        st = make_state([0.55, 0.0, 0.0501])
+        st = st.replace(obj=st.obj.replace(angvel=jnp.array([0.0, 0.0, 4.0])))
+        st = run(st, lib, 600)
+        assert float(jnp.abs(st.obj.angvel[2])) < 0.3, "spin not damped"
+        # and the spin must not have translated the cylinder
+        assert abs(float(st.obj.pos[0]) - 0.55) < 5e-3
+
 
 class TestFingers:
     def test_fingers_track_target_in_free_space(self):
