@@ -71,7 +71,13 @@ def bench_learner_update(batch: int = 256, npts: int = 1030, iters: int = 3):
     from gaddpg_tpu.agents.ddpg import make_ddpg_update
     from gaddpg_tpu.agents.state import create_agent_state
 
-    cfg = AgentConfig(batch_size=batch)
+    cfg = AgentConfig(
+        batch_size=batch,
+        compute_dtype=(
+            "bfloat16" if os.environ.get("GADDPG_BF16", "1") == "1"
+            else "float32"
+        ),
+    )
     key = jax.random.PRNGKey(0)
     state = create_agent_state(key, cfg, npoints=npts)
     update = jax.jit(make_ddpg_update(cfg), donate_argnums=(0,))
@@ -120,6 +126,7 @@ def main():
         ms = bench_learner_update(batch=LEARNER_BATCH)
         result["learner_update_ms_b%d" % LEARNER_BATCH] = round(ms, 1)
         result["pallas_pointnet"] = bool(pallas_kernels.pallas_enabled())
+        result["bf16_trunk"] = os.environ.get("GADDPG_BF16", "1") == "1"
         if MODE == "learner":
             result.update(
                 metric=f"DDPG update latency at batch {LEARNER_BATCH}",

@@ -25,6 +25,11 @@ class AgentConfig:
     # use_image, core/networks.py:106-147)
     use_image: bool = False
     image_size: int = 112
+    # matmul compute dtype for the feature trunks: "bfloat16" runs the
+    # PointNet grouped MLPs on the MXU at 2x throughput on real TPUs
+    # (params and BatchNorm stay float32; geometry paths are pinned to
+    # f32 separately by utils/precision.py). "float32" = off.
+    compute_dtype: str = "float32"
 
     # optimization
     lr: float = 3e-4

@@ -50,7 +50,10 @@ def multistep_lr(base_lr: float, milestones, gamma: float):
 
 
 def make_modules(cfg: AgentConfig):
-    feat = ImageFeature() if cfg.use_image else PointNetFeature()
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    feat = ImageFeature() if cfg.use_image else PointNetFeature(dtype=dt)
     policy = GaussianPolicy(
         action_dim=cfg.action_dim,
         hidden=cfg.hidden_size,

@@ -13,7 +13,7 @@ the trailing axis -> a single large matmul per layer on the MXU, instead
 of the reference's NCHW Conv2d+CUDA-gather pipeline.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -34,6 +34,9 @@ class SetAbstraction(nn.Module):
     nsample: int
     mlp: Sequence[int]
     group_all: bool = False
+    # matmul compute dtype (params stay f32; BatchNorm computes in f32,
+    # so activations re-enter f32 after every Dense+BN pair)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
@@ -50,8 +53,14 @@ class SetAbstraction(nn.Module):
 
         h = grouped
         for ch in self.mlp:
-            h = nn.Dense(ch, kernel_init=nn.initializers.kaiming_normal())(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = nn.Dense(
+                ch, kernel_init=nn.initializers.kaiming_normal(),
+                dtype=self.dtype,
+            )(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                dtype=jnp.float32,
+            )(h)
             h = nn.relu(h)
         return new_xyz, jnp.max(h, axis=-2)  # max over group members
 
@@ -63,28 +72,32 @@ class PointNetEncoder(nn.Module):
     nclusters: int = 32
     radius: float = 0.02
     scale: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pc, train: bool = True):
         """pc (B, N, C): columns 0:3 xyz, rest extra channels."""
         s = self.scale
+        dt = self.dtype
         xyz = pc[..., :3]
         feats = pc
         xyz, feats = SetAbstraction(
-            self.nclusters, self.radius, 64, (64 * s, 64 * s, 128 * s)
+            self.nclusters, self.radius, 64, (64 * s, 64 * s, 128 * s), dtype=dt
         )(xyz, feats, train)
-        xyz, feats = SetAbstraction(32, 0.04, 128, (128 * s, 128 * s, 256 * s))(
-            xyz, feats, train
-        )
-        _, feats = SetAbstraction(0, 0.0, 0, (256 * s, 256 * s, 512 * s), group_all=True)(
-            xyz, feats, train
-        )
+        xyz, feats = SetAbstraction(
+            32, 0.04, 128, (128 * s, 128 * s, 256 * s), dtype=dt
+        )(xyz, feats, train)
+        _, feats = SetAbstraction(
+            0, 0.0, 0, (256 * s, 256 * s, 512 * s), group_all=True, dtype=dt
+        )(xyz, feats, train)
         h = feats[:, 0]  # (B, 512s)
-        h = nn.Dense(1024 * s)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.Dense(1024 * s, dtype=dt)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(h)
         h = nn.relu(h)
-        h = nn.Dense(512 * s)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.Dense(512 * s, dtype=dt)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(h)
         h = nn.relu(h)
         return h
 
@@ -108,13 +121,16 @@ class PointNetFeature(nn.Module):
     radius: float = 0.02
     scale: int = 1
     num_hand_points: int = 6
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = PointNetEncoder(
-            self.policy_in, self.nclusters, self.radius, self.scale, name="encoder"
+            self.policy_in, self.nclusters, self.radius, self.scale,
+            dtype=self.dtype, name="encoder"
         )
         self.value_encoder = PointNetEncoder(
-            self.value_in, self.nclusters, self.radius, self.scale, name="value_encoder"
+            self.value_in, self.nclusters, self.radius, self.scale,
+            dtype=self.dtype, name="value_encoder"
         )
 
     def _prep(self, point_state, channels):

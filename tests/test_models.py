@@ -105,3 +105,51 @@ class TestResNet:
         params = net.init(key, img, train=False)
         out = net.apply(params, img, train=False)
         assert out.shape == (2, 512)
+
+
+class TestBf16Trunk:
+    def test_bf16_forward_close_to_f32_and_bc_update_finite(self):
+        # compute_dtype="bfloat16" runs the grouped MLPs on the MXU at
+        # 2x on real TPUs; params/BN stay f32, so outputs must track the
+        # f32 trunk closely and the BC update must stay finite
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gaddpg_tpu.agents.bc import make_bc_update
+        from gaddpg_tpu.agents.config import AgentConfig
+        from gaddpg_tpu.agents.state import create_agent_state
+
+        key = jax.random.PRNGKey(0)
+        batch = 8
+        npts = 1030
+        ks = jax.random.split(key, 4)
+        ps = jax.random.normal(ks[0], (batch, 4, npts)) * 0.05
+        ps = ps.at[:, 3, :].set(0.0).at[:, 3, :6].set(1.0)
+        goal = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0.1]), (batch, 1))
+        data = {
+            "point_state": ps,
+            "next_point_state": ps,
+            "action": jax.random.uniform(ks[1], (batch, 6), minval=-0.05, maxval=0.05),
+            "expert_action": jax.random.uniform(ks[2], (batch, 6), minval=-0.05, maxval=0.05),
+            "reward": jnp.zeros((batch,)),
+            "return": jnp.ones((batch,)),
+            "terminal": jnp.zeros((batch,)),
+            "time": jnp.full((batch,), 10.0),
+            "goal": goal,
+            "next_goal": goal,
+            "expert_flags": jnp.ones((batch,)),
+            "perturb_flags": jnp.zeros((batch,)),
+        }
+        losses = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = AgentConfig(batch_size=batch, compute_dtype=dt)
+            state = create_agent_state(jax.random.PRNGKey(1), cfg, npoints=npts)
+            update = jax.jit(make_bc_update(cfg))
+            state, metrics = update(state, data, ks[3])
+            loss = float(metrics["bc_loss"])
+            assert np.isfinite(loss), dt
+            losses[dt] = loss
+        assert abs(losses["bfloat16"] - losses["float32"]) < 0.2 * (
+            abs(losses["float32"]) + 1e-3
+        ), losses
