@@ -177,7 +177,14 @@ def verify_grasps_physics(spheres: np.ndarray, mass: float,
     )
     from gaddpg_tpu.robot.panda import DEFAULT_JOINTS, fk_hand
 
-    G = len(grasps)
+    n_real = len(grasps)
+    # pad to a fixed batch so every object shares ONE jit specialization
+    # (library sweeps would otherwise recompile per distinct grasp count)
+    G = 16 * ((n_real + 15) // 16)
+    grasps = np.concatenate(
+        [np.asarray(grasps, np.float64)]
+        + [np.tile(np.eye(4), (G - n_real, 1, 1))]
+    ) if G != n_real else np.asarray(grasps, np.float64)
     hand = np.asarray(fk_hand(DEFAULT_JOINTS))
     # object pose aligning each grasp with the canonical hand pose
     obj_T = hand @ np.linalg.inv(np.asarray(grasps, np.float64))
@@ -212,7 +219,7 @@ def verify_grasps_physics(spheres: np.ndarray, mass: float,
     state = fast_physics_step(p_hold, state, sph, m, it,
                               substeps=hold_substeps)
     disp = jnp.linalg.norm(state.obj.pos - jnp.asarray(pos), axis=-1)
-    return np.asarray(disp < disp_tol)
+    return np.asarray(disp < disp_tol)[:n_real]
 
 
 def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
