@@ -125,6 +125,36 @@ class TestClutterEnv:
         # falling obstacle never triggers the robot-collision event
         assert not bool(stepped.collided)
 
+    def test_online_training_smoke_in_dynamic_clutter(self):
+        # the full collect->update loop through the multi-body physics
+        # path (td3_clutter.yaml workflow at toy scale): rollouts in
+        # 2-obstacle scenes with DYNAMIC clutter must fill the buffer
+        # and the DDPG update must produce finite losses
+        from gaddpg_tpu import replay
+        from gaddpg_tpu.train.config import load_config
+        from gaddpg_tpu.train.loop import Trainer
+
+        cfg = load_config(
+            "experiments/cfgs/td3_clutter.yaml",
+            overrides={
+                "num_remotes": 4, "batch_size": 8, "updates_per_step": 1,
+                "RL_MEMORY_SIZE": 2000, "ONPOLICY_MEMORY_SIZE": 1000,
+            },
+            policy="DDPG",
+        )
+        assert cfg.env.num_clutter == 2
+        tr = Trainer(cfg)
+        tr.collect()
+        n = int(replay.upper_idx(tr.buffer)) + (
+            int(replay.upper_idx(tr.online_buffer))
+            if tr.online_buffer is not None else 0
+        )
+        assert n > 0
+        metrics = tr.train_iter()
+        if metrics:
+            for v in metrics.values():
+                assert np.isfinite(v), metrics
+
     def test_clutter_occludes_target(self):
         state, obs = jax.jit(self.env.reset)(jax.random.PRNGKey(2))
         hand = self.env._hand(state)
