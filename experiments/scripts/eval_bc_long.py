@@ -63,6 +63,20 @@ def main():
         tr, scenes, n_scenes, RUNS, expert=True, label="expert")
     tr.agent_state = load_agent(tr.agent_state, OUT)
     results["bc"] = eval_policy(tr, scenes, n_scenes, RUNS, label="bc")
+    if os.environ.get("TIME_AB", "1") == "1":
+        # deployment remaining-time convention A/B (max_steps - t instead
+        # of the expert-plan-length countdown; VERDICT weak item 7)
+        import dataclasses
+
+        from gaddpg_tpu.train.rollout import RolloutWorker
+
+        # fresh worker: the jitted eval closes over cfg at trace time
+        saved_cfg, saved_worker = tr.cfg, tr.worker
+        tr.cfg = dataclasses.replace(tr.cfg, eval_time_mode="steps")
+        tr.worker = RolloutWorker(tr.env, tr.cfg.agent, tr.cfg)
+        results["bc (steps-clock)"] = eval_policy(
+            tr, scenes, n_scenes, 1, label="bc-steps-clock")
+        tr.cfg, tr.worker = saved_cfg, saved_worker
 
     stats = {}
     sp = os.path.join(OUT, "train_stats.json")
@@ -70,7 +84,7 @@ def main():
         stats = json.load(open(sp))
 
     lines = [
-        "# RESULTS — learned-policy success (round 2)",
+        "# RESULTS — learned-policy success (round 3)",
         "",
         f"Protocol: {n_scenes} fixed pre-generated scenes x {RUNS} runs,",
         "success = lift > 8 cm held after retract (the reference's",
@@ -86,7 +100,7 @@ def main():
         "| policy | success (mean ± std) |",
         "|---|---|",
     ]
-    for k in ("untrained", "expert", "bc"):
+    for k in [k for k in ("untrained", "expert", "bc", "bc (steps-clock)") if k in results]:
         mu, sd, _ = results[k]
         lines.append(f"| {k} | {mu:.3f} ± {sd:.3f} |")
     if stats:

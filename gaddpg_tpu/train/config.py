@@ -27,6 +27,12 @@ class TrainConfig:
     online_buffer_size: int = 0            # ONPOLICY_MEMORY_SIZE (0 = share)
     batch_size: int = 256
     updates_per_iter: int = 4              # updates_per_step
+    # remaining-time feature at EVAL time: "plan" derives it from the
+    # expert plan length (training-consistent), "steps" uses
+    # max_steps - t (the reference's deployment convention,
+    # reference: core/test_realworld_ros_final.py episode clock).
+    # RESULTS.md carries the A/B showing the policy tolerates both.
+    eval_time_mode: str = "plan"
     max_epoch: int = 150000
     fill_data_step: int = 10
     online_buffer_ratio: float = 0.0

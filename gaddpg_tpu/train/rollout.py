@@ -228,7 +228,11 @@ class RolloutWorker:
 
         k_scan, k_retract = jax.random.split(key)
         valid_scene = states.valid_scene
-        plan_len = jax.vmap(env.expert_steps)(states)
+        if cfg.eval_time_mode == "steps":
+            # deployment convention: episode step budget countdown
+            plan_len = jnp.full((n,), float(cfg.max_steps))
+        else:
+            plan_len = jax.vmap(env.expert_steps)(states)
 
         def step_fn(carry, t):
             states, obs, done, key = carry
