@@ -122,18 +122,39 @@ def main():
             unit="env steps/sec",
             vs_baseline=round(sps / TARGET, 3),
         )
-    if MODE in ("learner", "all"):
+    if MODE == "learner":
         ms = bench_learner_update(batch=LEARNER_BATCH)
+        result.update(
+            metric=f"DDPG update latency at batch {LEARNER_BATCH}",
+            value=round(ms, 1),
+            unit="ms",
+            vs_baseline=0.0,
+        )
         result["learner_update_ms_b%d" % LEARNER_BATCH] = round(ms, 1)
         result["pallas_pointnet"] = bool(pallas_kernels.pallas_enabled())
         result["bf16_trunk"] = os.environ.get("GADDPG_BF16", "1") == "1"
-        if MODE == "learner":
-            result.update(
-                metric=f"DDPG update latency at batch {LEARNER_BATCH}",
-                value=round(ms, 1),
-                unit="ms",
-                vs_baseline=0.0,
+    elif MODE == "all":
+        # the learner phase's XLA compile can take tens of minutes on
+        # slow emulator days; run it in a bounded subprocess so the
+        # headline env metric ALWAYS prints one JSON line on time
+        import subprocess
+        import sys
+
+        budget = float(os.environ.get("BENCH_LEARNER_TIMEOUT", 1200))
+        env = dict(os.environ, BENCH_MODE="learner")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=budget,
             )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+            sub = json.loads(line)
+            for k in ("learner_update_ms_b%d" % LEARNER_BATCH,
+                      "pallas_pointnet", "bf16_trunk"):
+                if k in sub:
+                    result[k] = sub[k]
+        except Exception as e:  # timeout / parse failure: report, don't die
+            result["learner_bench"] = f"skipped ({type(e).__name__})"
     print(json.dumps(result))
 
 
