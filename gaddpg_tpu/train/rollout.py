@@ -263,4 +263,8 @@ class RolloutWorker:
             "success": rewards,
             "valid_scene": valid_scene,
             "obj_idx": states.obj_idx,
+            # robot-obstacle/object contact during the episode (the
+            # reference logs collision alongside success,
+            # reference: core/train_test_offline.py:258-302)
+            "collided": states.collided_before,
         }
