@@ -1,0 +1,90 @@
+"""Online TD3 fine-tuning from the BC checkpoint -> RESULTS addendum.
+
+The reference's full recipe layers actor-critic RL on top of
+BC+DAgger (td3_critic_aux_policy_aux.yaml; reference:
+core/train_online.py): exploration rollouts fill an on-policy buffer,
+the critic learns from both buffers, and the policy loss mixes BC on
+expert data with -Q on its own rollouts. Starting from the trained BC
+agent (the reference's model-migration workflow, core/utils.py:319-334)
+this run asks whether RL can push past BC=expert parity.
+
+    JAX_PLATFORMS=cpu python experiments/scripts/ddpg_finetune.py
+Env knobs: IN (output/bc_long_r3), OUT (output/ddpg_ft), MAX_HOURS (1.2),
+ITERS (400), ENVS (24).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from gaddpg_tpu import replay  # noqa: E402
+from gaddpg_tpu.envs.assets import library_from_index, verify_library_grasps  # noqa: E402
+from gaddpg_tpu.replay.npz_io import load_npz  # noqa: E402
+from gaddpg_tpu.train.checkpoints import load_agent, save_agent  # noqa: E402
+from gaddpg_tpu.train.config import load_config  # noqa: E402
+from gaddpg_tpu.train.loop import Trainer  # noqa: E402
+
+IN = os.environ.get("IN", "output/bc_long_r3")
+OUT = os.environ.get("OUT", "output/ddpg_ft")
+MAX_HOURS = float(os.environ.get("MAX_HOURS", 1.2))
+ITERS = int(os.environ.get("ITERS", 400))
+ENVS = int(os.environ.get("ENVS", 24))
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    cfg = load_config(
+        "experiments/cfgs/td3_critic_aux_policy_aux.yaml",
+        overrides={
+            "num_remotes": ENVS,
+            "batch_size": 64,
+            "updates_per_step": 8,
+            # fine-tune posture: modest exploration, gentle RL mixing
+            "explore_ratio_list": [0.3],
+            "mix_policy_ratio_list": [0.1],
+            "RL_MEMORY_SIZE": 60000,
+            "ONPOLICY_MEMORY_SIZE": 30000,
+            "output_dir": OUT,
+        },
+        policy="DDPG",
+    )
+    lib = verify_library_grasps(library_from_index("ycb", "train"))
+    tr = Trainer(cfg, lib=lib)
+    tr.buffer = load_npz(
+        os.path.join(IN, "bc_demos.npz"), buffer_size=cfg.buffer_size,
+        num_points=cfg.env.uniform_num_pts + 6,
+    )
+    loaded = load_agent(tr.agent_state, IN)
+    assert loaded is not None, f"no BC checkpoint under {IN}"
+    tr.agent_state = loaded
+    print(f"loaded BC agent (update_step={tr.update_step}) + "
+          f"{int(replay.upper_idx(tr.buffer))} expert transitions", flush=True)
+
+    t0 = time.time()
+    for it in range(1, ITERS + 1):
+        stats = tr.collect()
+        metrics = tr.train_iter()
+        if it % 20 == 0 or it == 1:
+            print(f"[iter {it}] rollout_success="
+                  f"{stats.get('rollout_success', float('nan')):.2f} "
+                  f"critic={metrics.get('critic_loss', float('nan')):.4f} "
+                  f"bc={metrics.get('bc_loss', float('nan')):.4f} "
+                  f"({(time.time()-t0)/60:.0f}m)", flush=True)
+            save_agent(tr.agent_state, OUT)
+        if time.time() - t0 > MAX_HOURS * 3600:
+            print("time budget reached", flush=True)
+            break
+    save_agent(tr.agent_state, OUT)
+    with open(os.path.join(OUT, "ft_stats.json"), "w") as f:
+        json.dump({"iters": it, "wall_s": time.time() - t0}, f)
+    print("done; evaluate with: OUT_AGENT=output/ddpg_ft "
+          "python experiments/scripts/eval_bc_long.py")
+
+
+if __name__ == "__main__":
+    main()
