@@ -318,3 +318,31 @@ class TestVideoUtils:
         assert (tmp_path / "strip.png").exists()
         write_video(frames, str(tmp_path / "clip.gif"), fps=4)
         assert (tmp_path / "clip.gif").exists()
+
+
+class TestLibraryGraspVerification:
+    def test_verify_library_masks_but_never_empties(self):
+        # verify_library_grasps ANDs the physics close-and-hold verdict
+        # into grasp_valid; objects where nothing survives keep their
+        # analytic set (an ungraspable object would poison every scene
+        # that samples it)
+        import numpy as np
+
+        from gaddpg_tpu.envs.assets import (
+            AssetSpec, build_library, verify_library_grasps,
+        )
+
+        lib = build_library([
+            AssetSpec("vbox", "box", (0.05, 0.05, 0.10), 0.2),
+            AssetSpec("vcyl", "cylinder", (0.03, 0.10), 0.3),
+        ])
+        out = verify_library_grasps(lib)
+        gv0 = np.asarray(lib.grasp_valid)
+        gv1 = np.asarray(out.grasp_valid)
+        # mask only ever shrinks, per object something always remains
+        assert (gv1 & ~gv0).sum() == 0
+        assert gv1.any(axis=1).all()
+        # geometry untouched
+        np.testing.assert_array_equal(
+            np.asarray(out.spheres), np.asarray(lib.spheres)
+        )
