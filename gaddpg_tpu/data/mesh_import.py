@@ -152,7 +152,8 @@ def verify_grasps_physics(spheres: np.ndarray, mass: float,
                           inertia: np.ndarray, grasps: np.ndarray,
                           close_substeps: int = 250,
                           hold_substeps: int = 750,
-                          disp_tol: float = 0.008) -> np.ndarray:
+                          disp_tol: float = 0.008,
+                          params=None) -> np.ndarray:
     """Physics-verified grasp mask: close on the object, then hold it
     against gravity in free space.
 
@@ -212,8 +213,14 @@ def verify_grasps_physics(spheres: np.ndarray, mass: float,
     m = jnp.full((G,), float(mass), jnp.float32)
     it = jnp.tile(jnp.asarray(inertia, jnp.float32)[None], (G, 1))
 
-    p_close = PhysicsParams(gravity=0.0, table_z=-10.0)
-    p_hold = PhysicsParams(table_z=-10.0)
+    # verify under the same contact/friction constants the env will
+    # simulate with -- labels from a different parameter set would not
+    # transfer (advisor round-1 finding)
+    import dataclasses as _dc
+
+    base = params if params is not None else PhysicsParams()
+    p_close = _dc.replace(base, gravity=0.0, table_z=-10.0)
+    p_hold = _dc.replace(base, table_z=-10.0)
     state = fast_physics_step(p_close, state, sph, m, it,
                               substeps=close_substeps)
     state = fast_physics_step(p_hold, state, sph, m, it,

@@ -195,10 +195,18 @@ def export_proc_index(out_dir: str, n_train: int, n_test: int,
     seed = seed0
     for split, n in (("train", n_train), ("test", n_test)):
         made = 0
-        while made < n:
-            tris, fam = random_proc_mesh(seed)
-            name = f"proc_{fam}_{seed:04d}"
+        attempts = 0
+        while made < n and attempts < 3 * n:
+            # same empty-grasp skip as build_proc_library: only index
+            # seeds whose pipeline yields grasps, so the file-based and
+            # in-memory flows produce the SAME library for the same
+            # seeds (advisor round-1 finding)
+            entry, name = proc_entry(seed)
+            tris, _ = random_proc_mesh(seed)
             seed += 1
+            attempts += 1
+            if entry["grasps"] is None or len(entry["grasps"]) == 0:
+                continue
             rel = os.path.join("meshes", name + ".obj")
             write_obj(os.path.join(out_dir, rel), tris)
             idx[split].append({"name": name, "obj": rel})

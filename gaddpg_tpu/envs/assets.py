@@ -411,7 +411,7 @@ def build_library(specs: Sequence[AssetSpec]) -> ObjectLibrary:
     )
 
 
-def verify_library_grasps(lib: ObjectLibrary) -> ObjectLibrary:
+def verify_library_grasps(lib: ObjectLibrary, params=None) -> ObjectLibrary:
     """Physics-verify every grasp in the library and mask out failures.
 
     Runs the close-and-hold rig (data/mesh_import.verify_grasps_physics)
@@ -419,7 +419,11 @@ def verify_library_grasps(lib: ObjectLibrary) -> ObjectLibrary:
     library-wide analogue of ACRONYM's simulation-verified grasp labels
     (reference: misc/grasp_data_reader.py:338-357). Objects where no
     grasp survives keep their analytic set (better a shaky grasp DB
-    than an ungraspable object)."""
+    than an ungraspable object).
+
+    `params`: the PhysicsParams the env will simulate with (e.g.
+    `EnvParams.physics`) so the verified labels match the target
+    simulation; defaults to PhysicsParams()."""
     import numpy as np
 
     from gaddpg_tpu.data.mesh_import import verify_grasps_physics
@@ -435,7 +439,7 @@ def verify_library_grasps(lib: ObjectLibrary) -> ObjectLibrary:
     held = np.zeros_like(gv)
     for o in range(O):
         held[o] = verify_grasps_physics(
-            sph[o], float(masses[o]), inert[o], grs[o]
+            sph[o], float(masses[o]), inert[o], grs[o], params=params
         )
     new_gv = gv & held
     keep = new_gv.any(axis=1)

@@ -66,6 +66,49 @@ def pack_inputs(lib, tgt_idx, clut_idx):
     )
 
 
+class TestStepFastParity:
+    """step.py (readable per-env) vs fast.py (batched SoA): CLAUDE.md's
+    three-way alignment invariant, enforced numerically (advisor
+    round-1 finding: the two duplicated friction implementations had no
+    comparing test)."""
+
+    def test_step_matches_fast(self):
+        from gaddpg_tpu.physics.step import physics_step
+
+        lib = make_lib()
+        # contact-rich start: object on the table in front of a moving,
+        # finger-closing arm so every force path (normal, friction
+        # passes, torsional, stiction, servo) is exercised
+        q = jnp.concatenate([DEFAULT_JOINTS, jnp.array([0.04, 0.04])])
+        st = batched_phys([0.55, 0.0, 0.0501], linvel=[0.05, 0.0, 0.0], q=q)
+        tgt = st.arm.q_target.at[:, 1].add(0.1).at[:, 7:].set(0.0)
+        st = st.replace(arm=st.arm.replace(q_target=tgt))
+
+        fast = fast_physics_step(
+            P, st, lib.spheres[jnp.array([0])],
+            lib.mass[jnp.array([0])], lib.inertia[jnp.array([0])],
+            substeps=50,
+        )
+        st1 = jax.tree_util.tree_map(lambda x: x[0], st)
+        slow = physics_step(
+            P, st1, lib.spheres[0], lib.mass[0], lib.inertia[0],
+            jnp.eye(4), substeps=50,
+        )
+        for name, a, b in [
+            ("obj.pos", slow.obj.pos, fast.obj.pos[0]),
+            ("obj.quat", slow.obj.quat, fast.obj.quat[0]),
+            ("obj.linvel", slow.obj.linvel, fast.obj.linvel[0]),
+            ("obj.angvel", slow.obj.angvel, fast.obj.angvel[0]),
+            ("arm.q", slow.arm.q, fast.arm.q[0]),
+            ("arm.qd", slow.arm.qd, fast.arm.qd[0]),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-5,
+                err_msg=f"step-vs-fast divergence in {name}",
+            )
+        assert bool(slow.gripper_contact) == bool(fast.gripper_contact[0])
+
+
 class TestMultiBody:
     def test_far_clutter_matches_fast_path(self):
         lib = make_lib()
