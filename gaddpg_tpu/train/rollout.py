@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from gaddpg_tpu.agents.ddpg import make_select_action
 from gaddpg_tpu.envs.grasp_env import PandaGraspEnv
+from gaddpg_tpu.parallel.mesh import constrain_leading_axis
 
 
 def _tree_where(pred, a, b):
@@ -38,7 +39,7 @@ def _tree_where(pred, a, b):
 class RolloutWorker:
     """Bundles env + policy selection into jitted rollout programs."""
 
-    def __init__(self, env: PandaGraspEnv, agent_cfg, train_cfg):
+    def __init__(self, env: PandaGraspEnv, agent_cfg, train_cfg, mesh=None):
         self.env = env
         self.cfg = train_cfg
         self.agent_cfg = agent_cfg
@@ -46,6 +47,12 @@ class RolloutWorker:
         # image mode: the policy consumes the RGBDM observation and the
         # replay stores it (reference: experiments/config.py:105)
         self.use_image = agent_cfg.use_image
+        # data-parallel mesh: the env batch shards on the `dp` axis --
+        # the whole rollout (reset, physics, render, policy forward)
+        # partitions across devices via GSPMD, the TPU-native form of
+        # the reference's N rollout workers scaling axis
+        # (reference: core/train_online.py:131-155, experiments/config.py:5-11)
+        self.mesh = mesh
         self.rollout = jax.jit(self._rollout, static_argnames=("expert_only",))
         self.evaluate = jax.jit(self._evaluate, static_argnames=("expert",))
         self.evaluate_scenes = jax.jit(
@@ -54,8 +61,14 @@ class RolloutWorker:
 
     # ------------------------------------------------------------------
     def _reset_all(self, key, num_envs):
-        keys = jax.random.split(key, num_envs)
-        return jax.vmap(self.env.reset)(keys)
+        keys = constrain_leading_axis(
+            self.mesh, jax.random.split(key, num_envs)
+        )
+        states, obs = jax.vmap(self.env.reset)(keys)
+        return (
+            constrain_leading_axis(self.mesh, states),
+            constrain_leading_axis(self.mesh, obs),
+        )
 
     # ------------------------------------------------------------------
     def _rollout(self, agent_state, key, explore_frac, noise_scale,
@@ -181,8 +194,10 @@ class RolloutWorker:
         (states, obs, done, _), (episodes, valid) = jax.lax.scan(
             step_fn, (states, obs, done0, k_scan), jnp.arange(T)
         )
-        # (T, N, ...) -> (N, T, ...)
+        # (T, N, ...) -> (N, T, ...); episodes shard on the env axis so
+        # the replay insert that consumes them stays device-local
         episodes = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), episodes)
+        episodes = constrain_leading_axis(self.mesh, episodes)
         valid = jnp.swapaxes(valid, 0, 1)
         valid = valid & valid_scene[:, None]
 
@@ -217,6 +232,8 @@ class RolloutWorker:
         reference: core/train_test_offline.py:176-256)."""
         k_reset, k_run = jax.random.split(key)
         keys = jax.random.split(k_reset, self.cfg.num_envs)
+        scenes = constrain_leading_axis(self.mesh, scenes)
+        keys = constrain_leading_axis(self.mesh, keys)
         states, obs = jax.vmap(self.env.reset_scene)(scenes, keys)
         return self._eval_from(agent_state, states, obs, k_run, expert=expert)
 

@@ -100,3 +100,88 @@ class TestShardedUpdateEquivalence:
         mesh = make_mesh(4)
         x = replicate(mesh, jnp.ones((3, 3)))
         assert len(x.sharding.device_set) == 4
+
+
+class TestShardedTrainIteration:
+    """END-TO-END multi-chip training: the full collect -> replay insert
+    -> update iteration sharded over the dp mesh matches the
+    single-device Trainer (GSPMD preserves global semantics; only
+    float reduction order differs). The TPU-native form of the
+    reference's multi-GPU scaling recipe
+    (reference: experiments/config.py:5-11, core/train_online.py:415-432).
+    """
+
+    def _cfg_and_lib(self, n_envs):
+        import dataclasses
+
+        from gaddpg_tpu.envs.assets import box_asset
+        from gaddpg_tpu.envs.grasp_env import EnvParams
+        from gaddpg_tpu.physics.types import PhysicsParams
+        from gaddpg_tpu.render.camera import CameraParams
+        from gaddpg_tpu.train.config import load_config
+
+        env_p = EnvParams(
+            physics=PhysicsParams(substeps=10),
+            camera=CameraParams(width=32, height=32),
+            uniform_num_pts=58, pc_capacity=128, new_points_per_step=32,
+            settle_substeps=20, max_steps=3, reset_tries=2,
+            retract_lift_steps=2, use_planner=False,
+        )
+        cfg = load_config(overrides={
+            "num_envs": n_envs, "max_steps": 3, "extend_steps": 1,
+            "batch_size": 8, "updates_per_iter": 1,
+            "buffer_size": 128, "fill_data_step": 0,
+            "explore_ratio": 0.5, "explore_cap": 0.5,
+            "output_dir": "output/test_mesh",
+        }, policy="DDPG")
+        return dataclasses.replace(cfg, env=env_p), box_asset(0.06, 0.06, 0.14)
+
+    def test_fused_iteration_matches_single_device(self):
+        from gaddpg_tpu.train.loop import Trainer
+
+        n_dev = 8
+        cfg, lib = self._cfg_and_lib(n_envs=2 * n_dev)
+        tr_ref = Trainer(cfg, lib=lib)
+        tr_sh = Trainer(cfg, lib=lib, mesh=make_mesh(n_dev))
+
+        r_ref = tr_ref.collect()
+        r_sh = tr_sh.collect()
+        assert r_ref["buffer_idx"] == r_sh["buffer_idx"] > 0
+        assert r_ref["rollout_success"] == r_sh["rollout_success"]
+        assert r_ref["valid_scene_frac"] == r_sh["valid_scene_frac"]
+        # identical episode structure in the distributed ring buffer:
+        # same slots, same episode boundaries, same rewards/returns
+        n = r_ref["buffer_idx"]
+        for field in ("reward", "returns", "episode_map", "timestep",
+                      "expert_flags", "terminal"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(tr_sh.buffer, field))[:n],
+                np.asarray(getattr(tr_ref.buffer, field))[:n],
+                atol=1e-5, err_msg=f"buffer field {field}",
+            )
+        # actions/points: GSPMD re-tiles per-shard programs, so ~1e-7
+        # fusion-level float diffs can flip argmin/threshold branches
+        # (nearest-grasp choice) on a few transitions. Bound the drift:
+        # the bulk of elements must match tightly.
+        a_sh = np.asarray(tr_sh.buffer.action)[:n]
+        a_ref = np.asarray(tr_ref.buffer.action)[:n]
+        frac_off = float(np.mean(np.abs(a_sh - a_ref) > 1e-4))
+        assert frac_off < 0.25, f"{frac_off:.0%} of action elements diverged"
+        p_sh = np.asarray(tr_sh.buffer.point_state[:n], np.float32)
+        p_ref = np.asarray(tr_ref.buffer.point_state[:n], np.float32)
+        assert float(np.median(np.abs(p_sh - p_ref))) < 1e-4
+
+        # the sharded update runs on the sharded buffer's samples; its
+        # strict numerical equivalence on a FIXED batch is pinned by
+        # TestShardedUpdateEquivalence above
+        m_ref = tr_ref.train_iter()
+        m_sh = tr_sh.train_iter()
+        assert m_ref and m_sh and set(m_ref) == set(m_sh)
+        for k in m_sh:
+            assert np.isfinite(m_sh[k]), f"non-finite sharded metric {k}"
+        assert tr_ref.update_step == tr_sh.update_step == 1
+        # and the distributed placement is real: replay spans the mesh,
+        # params stay replicated
+        assert len(tr_sh.buffer.point_state.sharding.device_set) == n_dev
+        leaf = jax.tree_util.tree_leaves(tr_sh.agent_state.policy_params)[0]
+        assert len(leaf.sharding.device_set) == n_dev
