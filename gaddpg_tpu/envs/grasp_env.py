@@ -49,6 +49,7 @@ from gaddpg_tpu.render.camera import (
     plane_zdepth,
     render_depth_points,
     render_rgbdm,
+    spheres_zdepth,
     visible_target_depth,
 )
 from gaddpg_tpu.render.pointcloud import (
@@ -58,7 +59,9 @@ from gaddpg_tpu.render.pointcloud import (
     create_pc_state,
 )
 from gaddpg_tpu.robot.ik import dls_ik, ik_from_seeds
-from gaddpg_tpu.robot.panda import DEFAULT_JOINTS, fk_hand
+from gaddpg_tpu.robot.panda import (
+    ARM_POINT_RADII, DEFAULT_JOINTS, arm_collision_points, fk_hand,
+)
 from gaddpg_tpu.utils.precision import f32_matmuls
 
 # camera optical frame relative to the hand: optical +z == hand +z
@@ -108,6 +111,11 @@ class EnvParams:
     settle_substeps: int = 200
     termination_heuristics: bool = True
     use_image: bool = False              # emit RGBDM image observations
+    # per-episode visual domain randomization for image mode: random
+    # target albedo, occluder tint (table-texture proxy), lighting gain,
+    # and per-frame pixel noise (reference randomizes table/object
+    # textures per episode, reference: env/panda_scene.py:599-618,680-690)
+    domain_rand: bool = False
     lift_height: float = 0.08            # success (reference: :877)
     fall_height: float = 0.03            # failure (reference: :868)
     retract_lift_steps: int = 10
@@ -138,6 +146,10 @@ class EnvState:
     plan: jnp.ndarray             # (PLAN_STEPS, 7) joint waypoints
     plan_ok: jnp.ndarray          # bool
     plan_step: jnp.ndarray        # int32 progress along the plan
+    # per-episode visual-randomization seed (EnvParams.domain_rand):
+    # fixed for the episode like the reference's per-episode textures
+    # (reference: env/panda_scene.py:599-618,680-690)
+    vis_seed: jnp.ndarray         # int32
 
 
 @struct.dataclass
@@ -192,9 +204,11 @@ class PandaGraspEnv:
         return pts.reshape(-1, 3)
 
     def _clutter_collision(self, state: EnvState, hand):
-        """True when any gripper box penetrates a clutter sphere -- the
-        collision event for obstacles (the reference terminates/fails on
-        robot-obstacle contact, reference: env/panda_scene.py:1078-1095)."""
+        """True when any gripper box OR arm-skeleton sphere penetrates a
+        clutter sphere -- the collision event for obstacles. The
+        reference queries EVERY robot link, so a forearm/elbow sweep
+        through an obstacle is a collision too
+        (reference: env/panda_scene.py:1078-1095)."""
         p = self.p.physics
         sph = self._clutter_spheres_world(state)  # (M, 4)
         boxes = gripper_box_poses(hand, state.phys.arm.q[7],
@@ -207,6 +221,11 @@ class PandaGraspEnv:
             out = jnp.maximum(jnp.abs(local) - jnp.asarray(he), 0.0)
             d = jnp.linalg.norm(out, axis=-1) - sph[:, 3]
             hit = hit | jnp.any((d < 0.0) & (sph[:, 3] > 0.0))
+        arm_pts = arm_collision_points(state.phys.arm.q[:7])   # (N, 3)
+        d = jnp.linalg.norm(
+            arm_pts[:, None, :] - sph[None, :, :3], axis=-1
+        ) - ARM_POINT_RADII[:, None] - sph[None, :, 3]
+        hit = hit | jnp.any((d < 0.0) & (sph[None, :, 3] > 0.0))
         return hit
 
     def _occluder_depth(self, state: EnvState, hand, cam_pose):
@@ -223,6 +242,16 @@ class PandaGraspEnv:
         )
         for pose, he in zip(boxes, (fhe, fhe, phe)):
             occ = jnp.minimum(occ, box_zdepth(p.camera, cam_pose, pose, he))
+        # upstream arm links can fold into view near joint limits; the
+        # reference's full-scene render occludes through them too. The
+        # link7->hand spheres are excluded: they envelop the wrist-mounted
+        # camera itself (0.05 m radius vs 0.051 m camera offset) and the
+        # palm/finger boxes above already model the visible wrist geometry.
+        arm_pts = arm_collision_points(state.phys.arm.q[:7])[:-3]
+        occ = jnp.minimum(
+            occ,
+            spheres_zdepth(p.camera, cam_pose, arm_pts, ARM_POINT_RADII[:-3]),
+        )
         return occ
 
     # ------------------------------------------------------------------
@@ -267,8 +296,24 @@ class PandaGraspEnv:
             albedo = 0.35 + 0.6 * jnp.abs(
                 jnp.sin(oi * jnp.array([1.7, 2.9, 4.3]) + jnp.array([0.0, 2.0, 4.0]))
             )
+            rand_kw = {}
+            if self.p.domain_rand:
+                # per-episode texture/lighting draw (fixed within the
+                # episode via vis_seed), per-frame sensor noise
+                kv = jax.random.PRNGKey(state.vis_seed)
+                ka, ko, kl, kn = jax.random.split(kv, 4)
+                albedo = jax.random.uniform(ka, (3,), minval=0.1, maxval=0.95)
+                rand_kw = dict(
+                    occluder_color=jax.random.uniform(
+                        ko, (3,), minval=0.15, maxval=0.85
+                    ),
+                    light_gain=jax.random.uniform(kl, (), minval=0.6, maxval=1.4),
+                    noise_key=jax.random.fold_in(kn, state.env_step),
+                    noise_std=0.02,
+                )
             image = render_rgbdm(
-                self.p.camera, cam_inv, surf_w, albedo, occ_depth=occ
+                self.p.camera, cam_inv, surf_w, albedo, occ_depth=occ,
+                **rand_kw,
             )
         else:
             image = jnp.zeros((5, 1, 1))
@@ -388,7 +433,12 @@ class PandaGraspEnv:
         )
         K = p.num_clutter
         clutter_idx = scene.get("clutter_idx", jnp.zeros((K,), jnp.int32))
-        clutter_pos = scene.get("clutter_pos", jnp.zeros((K, 3)))
+        # scenes without clutter keys park the (now simulated) default
+        # bodies far away -- a dynamic body defaulted to the origin would
+        # settle onto the table and perturb the episode (advisor finding)
+        clutter_pos = scene.get(
+            "clutter_pos", jnp.tile(jnp.array([0.0, 0.0, 1e3]), (K, 1))
+        )
         clutter_quat = scene.get(
             "clutter_quat", jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1))
         )
@@ -435,6 +485,9 @@ class PandaGraspEnv:
             plan=jnp.tile(q[:7], (PLAN_STEPS, 1)),
             plan_ok=jnp.asarray(True),
             plan_step=jnp.asarray(0, jnp.int32),
+            vis_seed=jax.random.randint(
+                jax.random.fold_in(key, 23), (), 0, jnp.iinfo(jnp.int32).max
+            ),
         )
         state = self._update_goal(state)
         if p.use_planner:

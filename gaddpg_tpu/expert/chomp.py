@@ -23,8 +23,11 @@ import jax.numpy as jnp
 from gaddpg_tpu.geometry.rotations import mat_to_euler
 from gaddpg_tpu.geometry.se3 import se3_inverse
 from gaddpg_tpu.models.heads import TASK6D_HIGH
-from gaddpg_tpu.robot.ik import dls_ik, ik_from_seeds
-from gaddpg_tpu.robot.panda import JOINT_LOWER, JOINT_UPPER, fk_hand
+from gaddpg_tpu.robot.ik import dls_ik
+from gaddpg_tpu.robot.panda import (
+    ARM_POINT_RADII, JOINT_LOWER, JOINT_UPPER, arm_collision_points,
+    fk_all, fk_hand,
+)
 from gaddpg_tpu.utils.precision import f32_matmuls
 
 STANDOFF_DIST = 0.08     # reference: experiments/config.py:220
@@ -34,8 +37,9 @@ PLAN_STEPS = APPROACH_STEPS + INSERT_STEPS
 
 # gripper-local probe points for the obstacle cost: wrist, palm sides,
 # finger spread, fingertip center, tip overshoot (hand frame). The
-# wrist-local geometry is what enters the clutter zone; upstream links
-# stay above the workspace at tabletop grasps.
+# full-arm capsule skeleton (robot/panda.arm_collision_points) joins
+# these so forearm/elbow sweeps through clutter are costed too, like
+# OMG's all-link SDF cost (reference: env/panda_scene.py:897-917).
 _PROBES = jnp.array(
     [
         [0.0, 0.0, 0.0],
@@ -78,19 +82,33 @@ _MINV = _smoothness_preconditioner()
 
 
 def _probe_world(q):
-    """(P, 3) world positions of the gripper probes at arm joints q (7,)."""
-    hand = fk_hand(q)
-    return _PROBES @ hand[:3, :3].T + hand[:3, 3]
+    """(P, 3) world positions + (P,) radii of all collision probes at
+    arm joints q (7,): gripper probes + the full-arm capsule skeleton
+    (ONE FK chain via fk_all)."""
+    frames = fk_all(q)
+    hand = frames[-1]
+    grip = _PROBES @ hand[:3, :3].T + hand[:3, 3]
+    arm = arm_collision_points(frames=frames)
+    pts = jnp.concatenate([grip, arm], axis=0)
+    radii = jnp.concatenate(
+        [jnp.full((grip.shape[0],), PROBE_RADIUS), ARM_POINT_RADII]
+    )
+    return pts, radii
 
 
 def obstacle_cost(q, spheres, margin: float = 0.01, table_z: float = 0.0):
-    """Hinge-squared penetration of the gripper probes into the obstacle
-    spheres (world (NOBS, 4), radius 0 = padding) and the table plane."""
-    p = _probe_world(q)  # (P, 3)
-    d = jnp.linalg.norm(p[:, None, :] - spheres[None, :, :3], axis=-1)
-    pen = jnp.maximum(spheres[None, :, 3] + PROBE_RADIUS + margin - d, 0.0)
+    """Hinge-squared penetration of the gripper + arm probes into the
+    obstacle spheres (world (NOBS, 4), radius 0 = padding) and the
+    table plane (all-link collision cost,
+    reference: env/panda_scene.py:897-917)."""
+    p, radii = _probe_world(q)  # (P, 3), (P,)
+    diff = p[:, None, :] - spheres[None, :, :3]
+    # eps-regularized norm: a probe exactly at a sphere center has a
+    # 0/0 norm gradient that NaNs the whole CHOMP descent
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    pen = jnp.maximum(spheres[None, :, 3] + radii[:, None] + margin - d, 0.0)
     pen = jnp.where(spheres[None, :, 3] > 0, pen, 0.0)
-    table_pen = jnp.maximum(table_z + PROBE_RADIUS * 0.5 - p[:, 2], 0.0)
+    table_pen = jnp.maximum(table_z + radii * 0.5 - p[:, 2], 0.0)
     return jnp.sum(pen**2) + jnp.sum(table_pen**2)
 
 
@@ -144,12 +162,37 @@ def plan_to_goal(q0, goal_pose, obstacle_spheres, iters: int = 30,
     # IK seeded from q0 first: it lands on the joint-space branch nearest
     # the start, keeping the interpolated trajectory local (multi-start
     # alone can pick a far branch and the interp swings through the
-    # workspace); anchor-seed multi-start is the fallback.
+    # workspace). When that branch's ARM pose collides with an obstacle
+    # (all-link cost -- a forearm/elbow clash the optimizer cannot fix
+    # because the standoff is a fixed endpoint), re-route through the
+    # lowest-cost collision-free anchor-seed branch instead, like OMG's
+    # collision-aware goal-set selection
+    # (reference: env/panda_scene.py:897-917).
+    from gaddpg_tpu.robot.panda import ANCHOR_SEEDS
+
     q_near, perr_n, rerr_n = dls_ik(q0, standoff[:3, 3], standoff[:3, :3])
     ok_near = (perr_n < 5e-3) & (rerr_n < 5e-2)
-    q_multi, ok_multi = ik_from_seeds(standoff[:3, 3], standoff[:3, :3])
-    q_stand = jnp.where(ok_near, q_near, q_multi)
-    ok_stand = ok_near | ok_multi
+    cost_near = obstacle_cost(q_near, obstacle_spheres, margin=0.005,
+                              table_z=table_z)
+    qs, perrs, rerrs = jax.vmap(
+        lambda s: dls_ik(s, standoff[:3, 3], standoff[:3, :3])
+    )(ANCHOR_SEEDS)
+    conv = (perrs < 5e-3) & (rerrs < 5e-2)
+    costs = jax.vmap(
+        lambda q: obstacle_cost(q, obstacle_spheres, margin=0.005,
+                                table_z=table_z)
+    )(qs)
+    # among converged seeds: clear-of-obstacle first, then nearest start
+    seed_score = jnp.where(
+        conv, costs * 1e3 + 0.01 * jnp.linalg.norm(qs - q0, axis=-1), jnp.inf
+    )
+    best = jnp.argmin(seed_score)
+    q_alt, ok_alt = qs[best], conv[best]
+    use_near = ok_near & (
+        (cost_near < 1e-8) | ~ok_alt | (costs[best] >= cost_near)
+    )
+    q_stand = jnp.where(use_near, q_near, jnp.where(ok_alt, q_alt, q_near))
+    ok_stand = ok_near | ok_alt
     # seed the short insertion solve from the standoff solution
     q_final, perr, rerr = dls_ik(
         q_stand, goal_pose[:3, 3], goal_pose[:3, :3], iters=20

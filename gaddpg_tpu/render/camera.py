@@ -115,8 +115,28 @@ def box_zdepth(cam: CameraParams, cam_pose, box_pose, half_extents):
 
 
 @partial(jax.jit, static_argnames=("cam",))
+def spheres_zdepth(cam: CameraParams, cam_pose, centers, radii):
+    """Per-pixel nearest z-depth over a set of spheres ((N, 3), (N,));
+    +inf where every ray misses. Used for the arm-link capsule skeleton
+    occluders (the reference's full-scene render includes the whole
+    robot, reference: env/panda_scene.py:414-436)."""
+    dirs_w = _pixel_dirs(cam) @ cam_pose[:3, :3].T        # (HW, 3)
+    oc = cam_pose[:3, 3][None, :] - centers               # (N, 3)
+    a = jnp.sum(dirs_w * dirs_w, axis=-1)                 # (HW,)
+    b = 2.0 * dirs_w @ oc.T                               # (HW, N)
+    c = jnp.sum(oc * oc, axis=-1)[None, :] - radii[None, :] ** 2
+    disc = b * b - 4.0 * a[:, None] * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = (-b - sq) / (2.0 * a[:, None])
+    hit = (disc > 0.0) & (t > cam.near) & (t < cam.far)
+    t = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
+    return t.reshape(cam.height, cam.width)
+
+
+@partial(jax.jit, static_argnames=("cam",))
 def render_rgbdm(cam: CameraParams, cam_pose_inv, points_world, albedo,
-                 valid=None, occ_depth=None):
+                 valid=None, occ_depth=None, occluder_color=None,
+                 light_gain=None, noise_key=None, noise_std=0.0):
     """RGBDM image (5, H, W) from target surface points.
 
     Channel layout matches the reference's processed image state
@@ -133,6 +153,13 @@ def render_rgbdm(cam: CameraParams, cam_pose_inv, points_world, albedo,
     target become background in the mask and show the occluder's depth,
     like the reference's full-scene render + target segmentation
     (reference: env/panda_scene.py:414-436).
+
+    Domain-randomization hooks (the reference randomizes table/object
+    textures per episode, reference: env/panda_scene.py:599-618,680-690):
+    `occluder_color` ((3,) or scalar) replaces the fixed occluder gray,
+    `light_gain` scales the shading, and `noise_key`/`noise_std` add
+    per-frame Gaussian pixel noise to RGB. Depth and mask channels stay
+    clean -- randomization perturbs photometry only.
     """
     h, w = cam.height, cam.width
     depth_t = render_depth_points(cam, cam_pose_inv, points_world, valid)
@@ -143,8 +170,15 @@ def render_rgbdm(cam: CameraParams, cam_pose_inv, points_world, albedo,
     hit = jnp.isfinite(scene)
     scene = jnp.where(hit, scene, 0.0)
     shade = jnp.where(hit, 1.0 / (1.0 + 2.0 * scene), 0.0)
-    color = jnp.where(t_vis[None], albedo[:, None, None], 0.5)  # occluders gray
+    if light_gain is not None:
+        shade = shade * light_gain
+    oc = 0.5 if occluder_color is None else occluder_color
+    oc = jnp.broadcast_to(jnp.asarray(oc), (3,))
+    color = jnp.where(t_vis[None], albedo[:, None, None], oc[:, None, None])
     rgb = color * shade[None]
+    if noise_key is not None:
+        rgb = rgb + noise_std * jax.random.normal(noise_key, rgb.shape)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
     mask = jnp.where(t_vis, 0.0, 1.0)
     return jnp.concatenate([rgb, scene[None], mask[None]], axis=0)
 

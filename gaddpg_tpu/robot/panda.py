@@ -125,6 +125,41 @@ def fk_all(q, base=None):
     return jnp.stack(frames)
 
 
+# ---------------------------------------------------------------------------
+# Full-arm collision skeleton: sphere proxies along the link capsules.
+# The reference plans and collision-checks EVERY robot link -- OMG
+# combines per-obstacle SDFs against all arm links
+# (reference: env/panda_scene.py:897-917) and the env collision check
+# queries each one (reference: env/panda_scene.py:1078-1095). Segment
+# radii approximate the URDF link shells (upper arm ~0.065 m tapering
+# to ~0.05 m at the wrist).
+_ARM_SEG_RADII = _np.array([0.065, 0.065, 0.062, 0.058, 0.055, 0.05, 0.05])
+# sample fractions along each inter-frame segment (frame origins double
+# as segment ends, so t=0 covers the joint itself)
+_ARM_SEG_TS = _np.array([0.0, 0.5])
+ARM_POINT_RADII = jnp.asarray(
+    _np.concatenate([_np.repeat(_ARM_SEG_RADII, len(_ARM_SEG_TS)), [0.05]])
+)
+
+
+def arm_collision_points(q=None, base=None, frames=None):
+    """(N, 3) world sphere centers along the arm skeleton (pair with
+    ARM_POINT_RADII (N,)).
+
+    Spheres sit at each inter-frame segment's endpoints/midpoint from
+    link1 through the hand -- the elbow and forearm sweep volume the
+    wrist-local probes cannot see. Pass precomputed `frames` (from
+    fk_all) to avoid a second FK chain.
+    """
+    if frames is None:
+        frames = fk_all(q, base)
+    starts = frames[:-1, :3, 3]                     # (7, 3)
+    ends = frames[1:, :3, 3]
+    ts = jnp.asarray(_ARM_SEG_TS)[None, :, None]
+    pts = starts[:, None, :] * (1.0 - ts) + ends[:, None, :] * ts  # (7, T, 3)
+    return jnp.concatenate([pts.reshape(-1, 3), ends[-1:]], axis=0)
+
+
 def fk_hand(q, base=None):
     """Hand ("end-effector") frame only, (4, 4)."""
     T = jnp.eye(4) if base is None else base

@@ -106,3 +106,61 @@ class TestImageReplay:
         np.testing.assert_allclose(
             np.asarray(batch["next_image_state"][:, 0, 0, 0]), nxt.astype(np.float32)
         )
+
+
+class TestDomainRandomization:
+    """Per-episode visual randomization (VERDICT round-1 item 6;
+    reference randomizes table/object textures per episode,
+    reference: env/panda_scene.py:599-618,680-690)."""
+
+    def _env(self):
+        from gaddpg_tpu.envs.assets import box_asset
+        from gaddpg_tpu.envs.grasp_env import EnvParams, PandaGraspEnv
+        from gaddpg_tpu.render.camera import CameraParams
+
+        p = EnvParams(
+            camera=CameraParams(width=S, height=S),
+            use_image=True, domain_rand=True, reset_tries=1,
+            use_planner=False,
+        )
+        return PandaGraspEnv(p, box_asset(0.06, 0.06, 0.14))
+
+    def test_per_key_determinism_and_episode_variation(self):
+        env = self._env()
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(4))
+        # same key -> identical image (randomization is PRNG-keyed)
+        _, obs2 = jax.jit(env.reset)(jax.random.PRNGKey(4))
+        np.testing.assert_array_equal(np.asarray(obs.image),
+                                      np.asarray(obs2.image))
+
+        # different vis_seed, SAME scene -> RGB changes, depth/mask don't
+        reobserve = jax.jit(lambda s, k: env._observe(s, k))
+        k_obs = jax.random.PRNGKey(7)
+        st_a = state.replace(vis_seed=jnp.asarray(111, jnp.int32),
+                             pc=state.pc)
+        st_b = state.replace(vis_seed=jnp.asarray(222, jnp.int32))
+        _, obs_a = reobserve(st_a, k_obs)
+        _, obs_b = reobserve(st_b, k_obs)
+        rgb_delta = float(jnp.abs(obs_a.image[:3] - obs_b.image[:3]).max())
+        assert rgb_delta > 0.05, "randomization has no visual effect"
+        np.testing.assert_array_equal(np.asarray(obs_a.image[3:]),
+                                      np.asarray(obs_b.image[3:]))
+
+    def test_disabled_randomization_is_deterministic_per_object(self):
+        from gaddpg_tpu.envs.assets import box_asset
+        from gaddpg_tpu.envs.grasp_env import EnvParams, PandaGraspEnv
+        from gaddpg_tpu.render.camera import CameraParams
+
+        p = EnvParams(
+            camera=CameraParams(width=S, height=S),
+            use_image=True, domain_rand=False, reset_tries=1,
+            use_planner=False,
+        )
+        env = PandaGraspEnv(p, box_asset(0.06, 0.06, 0.14))
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(4))
+        k_obs = jax.random.PRNGKey(7)
+        reobserve = jax.jit(lambda s, k: env._observe(s, k))
+        _, obs_a = reobserve(state.replace(vis_seed=jnp.asarray(1, jnp.int32)), k_obs)
+        _, obs_b = reobserve(state.replace(vis_seed=jnp.asarray(2, jnp.int32)), k_obs)
+        np.testing.assert_array_equal(np.asarray(obs_a.image),
+                                      np.asarray(obs_b.image))
