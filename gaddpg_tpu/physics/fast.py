@@ -333,6 +333,29 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
             dl_b = jnp.sum(n_b * (-lj)[..., None], axis=1)
             w_out = w_out + quat_rotate(quat, dl_b * inv_inertia)
 
+        # aggregate rotational stiction over the PAD contacts (see
+        # PhysicsParams.pad_rot_stiction): stops the common-mode angular
+        # slip of the object against the hand that the per-contact
+        # passes under-remove in symmetric pinches (screw-out mode).
+        if p.pad_rot_stiction:
+            pad_have = have.at[:, :ns].set(False)          # exclude table
+            w_surf_p = jnp.broadcast_to(h_ang[:, None, :], (B, 4 * ns, 3))
+            w_rel = (w_out[:, None, :] - w_surf_p) * pad_have[..., None]
+            fnp = fn * pad_have
+            fnp_sum = jnp.sum(fnp, axis=1, keepdims=True)
+            wbar = jnp.sum(fnp[..., None] * w_rel, axis=1) / jnp.maximum(
+                fnp_sum, 1e-9
+            )
+            # pooled torque budget: lever = contact offset + pad patch
+            lever = jnp.linalg.norm(r_c, axis=-1) + p.torsion_patch_radius
+            pool_ang = jnp.sum(
+                p.friction_mu * fnp * lever * p.dt, axis=1, keepdims=True
+            )
+            wbar_b = quat_rotate(q_c, wbar)
+            l_need = jnp.linalg.norm(inertia * wbar_b, axis=-1, keepdims=True)
+            scale_a = jnp.minimum(1.0, pool_ang / jnp.maximum(l_need, 1e-9))
+            w_out = w_out - wbar * scale_a * (fnp_sum > 0)
+
         linvel = jnp.clip(v_out / (1.0 + p.linear_damping * p.dt),
                           -p.max_linvel, p.max_linvel)
         angvel = jnp.clip(w_out / (1.0 + p.angular_damping * p.dt),
@@ -346,17 +369,32 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         pen_r = jnp.where(pen_box[:, 1] > 0, pen_box[:, 1], 0.0)
         step_lim = p.finger_vel_limit * p.dt
         tgt_f = arm.q_target[:, 7:9]
-        qf_cand = q_f + jnp.clip(tgt_f - q_f, -step_lim, step_lim)
         k = p.contact_stiffness
         f_pad = k * jnp.stack([jnp.sum(pen_l, axis=1), jnp.sum(pen_r, axis=1)], -1)
         n_pad = jnp.stack(
             [jnp.sum(pen_l > 0, axis=1), jnp.sum(pen_r > 0, axis=1)], -1
         ).astype(q_f.dtype)
-        floor = q_f + jnp.clip(
-            (f_pad - p.finger_force) / (k * jnp.maximum(n_pad, 1.0)),
-            -step_lim, step_lim,
-        )
-        q_f = jnp.clip(jnp.maximum(qf_cand, floor), 0.0, 0.04)
+        if p.finger_gear_coupling:
+            # gear-coupled pair (see PhysicsParams.finger_gear_coupling):
+            # one opening DOF driven by the TOTAL pad force
+            s = jnp.mean(q_f, axis=-1, keepdims=True)
+            tgt_s = jnp.mean(tgt_f, axis=-1, keepdims=True)
+            s_cand = s + jnp.clip(tgt_s - s, -step_lim, step_lim)
+            f_tot = jnp.sum(f_pad, axis=-1, keepdims=True)
+            n_tot = jnp.sum(n_pad, axis=-1, keepdims=True)
+            floor = s + jnp.clip(
+                (f_tot - 2.0 * p.finger_force) / (k * jnp.maximum(n_tot, 1.0)),
+                -step_lim, step_lim,
+            )
+            s_new = jnp.clip(jnp.maximum(s_cand, floor), 0.0, 0.04)
+            q_f = jnp.broadcast_to(s_new, (B, 2))
+        else:
+            qf_cand = q_f + jnp.clip(tgt_f - q_f, -step_lim, step_lim)
+            floor = q_f + jnp.clip(
+                (f_pad - p.finger_force) / (k * jnp.maximum(n_pad, 1.0)),
+                -step_lim, step_lim,
+            )
+            q_f = jnp.clip(jnp.maximum(qf_cand, floor), 0.0, 0.04)
 
         grip_now = jnp.any(pen_box.reshape(B, -1) > 0, axis=1)
         return (pos, quat, linvel, angvel, q_f, grip_any | grip_now), None

@@ -177,6 +177,25 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
         lj = jnp.clip(s_rel / (w_rot * share_t), -l_cap, l_cap) * (fn > 0)
         w_out = w_out - inv_iw @ jnp.sum(contacts.normal * lj[:, None], axis=0)
 
+    # aggregate rotational stiction over the PAD contacts (mirrors
+    # fast.py; see PhysicsParams.pad_rot_stiction): stops the
+    # common-mode object-vs-hand angular slip that symmetric pinches
+    # leave (screw-out mode), bounded by the pooled Coulomb torque
+    # budget. Table contacts excluded so free rolling is untouched.
+    if p.pad_rot_stiction:
+        nc = contacts.pen.shape[0]
+        pad_have = (fn > 0) & (jnp.arange(nc) >= ns)
+        w_rel = (w_out[None, :] - hand_ang[None, :]) * pad_have[:, None]
+        fnp = fn * pad_have
+        fnp_sum = jnp.sum(fnp)
+        wbar = jnp.sum(fnp[:, None] * w_rel, axis=0) / jnp.maximum(fnp_sum, 1e-9)
+        lever = jnp.linalg.norm(r_pts, axis=-1) + p.torsion_patch_radius
+        pool_ang = jnp.sum(p.friction_mu * fnp * lever * p.dt)
+        i_world = r_obj @ jnp.diag(inertia_diag) @ r_obj.T
+        l_need = jnp.linalg.norm(i_world @ wbar)
+        scale_a = jnp.minimum(1.0, pool_ang / jnp.maximum(l_need, 1e-9))
+        w_out = w_out - wbar * scale_a * (fnp_sum > 0)
+
     linvel = v_out / (1.0 + p.linear_damping * p.dt)
     angvel = w_out / (1.0 + p.angular_damping * p.dt)
     linvel = jnp.clip(linvel, -p.max_linvel, p.max_linvel)
@@ -192,15 +211,30 @@ def physics_substep(p: PhysicsParams, state: PhysicsState, sphere_set, mass,
     pen_r = jnp.where(c_r.pen > 0, c_r.pen, 0.0)
     q_f = arm.q[7:9]
     step_lim = p.finger_vel_limit * p.dt
-    qf_cand = q_f + jnp.clip(arm.q_target[7:9] - q_f, -step_lim, step_lim)
     k = p.contact_stiffness
     f_pad = jnp.stack([k * jnp.sum(pen_l), k * jnp.sum(pen_r)])
     n_pad = jnp.stack([jnp.sum(pen_l > 0), jnp.sum(pen_r > 0)]).astype(q_f.dtype)
-    floor = q_f + jnp.clip(
-        (f_pad - p.finger_force) / (k * jnp.maximum(n_pad, 1.0)),
-        -step_lim, step_lim,
-    )
-    q_f = jnp.clip(jnp.maximum(qf_cand, floor), 0.0, 0.04)
+    if p.finger_gear_coupling:
+        # gear-coupled pair (mirrors fast.py; see
+        # PhysicsParams.finger_gear_coupling)
+        s = jnp.mean(q_f)
+        tgt_s = jnp.mean(arm.q_target[7:9])
+        s_cand = s + jnp.clip(tgt_s - s, -step_lim, step_lim)
+        f_tot = jnp.sum(f_pad)
+        n_tot = jnp.sum(n_pad)
+        floor = s + jnp.clip(
+            (f_tot - 2.0 * p.finger_force) / (k * jnp.maximum(n_tot, 1.0)),
+            -step_lim, step_lim,
+        )
+        s_new = jnp.clip(jnp.maximum(s_cand, floor), 0.0, 0.04)
+        q_f = jnp.stack([s_new, s_new])
+    else:
+        qf_cand = q_f + jnp.clip(arm.q_target[7:9] - q_f, -step_lim, step_lim)
+        floor = q_f + jnp.clip(
+            (f_pad - p.finger_force) / (k * jnp.maximum(n_pad, 1.0)),
+            -step_lim, step_lim,
+        )
+        q_f = jnp.clip(jnp.maximum(qf_cand, floor), 0.0, 0.04)
 
     q_new = jnp.concatenate([q_arm, q_f])
     grip_contact = (jnp.max(pen_l) > 0) | (jnp.max(pen_r) > 0) | (

@@ -33,6 +33,27 @@ class PhysicsParams:
     # contact patch; torque capacity = mu * fn * this radius (PyBullet
     # exposes the same knob as spinning friction). 0 disables.
     torsion_patch_radius: float = 0.006  # m
+    # aggregate rotational stiction over the PAD contact set: the
+    # angular analogue of the rigid-set translational pass. In a
+    # symmetric pinch the per-contact friction passes' responses to
+    # rotation-mode slip cancel between opposing pads, so a curved body
+    # can screw/pivot out of a long pinch even with translation fully
+    # stopped. One aggregate angular impulse drives the fn-weighted
+    # object-vs-hand angular slip of the pad set to zero, bounded by
+    # the pooled Coulomb torque budget (mu*fn*(lever+patch) per
+    # contact). Table contacts are excluded so free rolling on the
+    # table is untouched. False disables (ablation knob).
+    pad_rot_stiction: bool = True
+    # gear-coupled fingers (the reference couples them with a PyBullet
+    # gear constraint, reference: env/panda_gripper_hand_camera.py:37-45).
+    # Independent penetration-limited servos creep: in an asymmetric
+    # pinch one pad reaches its force floor while the other keeps
+    # closing at the rate limit, translating the squeeze centerline --
+    # the object drifts out of long pinches at ~the finger creep rate
+    # with zero rotation (measured 1.3 mm/s on the mesh-mug rig).
+    # Coupled fingers close/stop TOGETHER on the total pad force, so the
+    # pinch self-centers and holds statically. False = legacy servos.
+    finger_gear_coupling: bool = True
 
     # object free-body damping (matches PyBullet defaults feel)
     linear_damping: float = 0.04
