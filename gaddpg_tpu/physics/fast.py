@@ -89,19 +89,100 @@ def arm_trajectory(p: PhysicsParams, q0, qd0, q_tgt, n: int):
 
 
 # ---------------------------------------------------------------------------
+# fused Pallas contact scan (ops/pallas_physics.py): the entire substep
+# loop as one TPU kernel, state resident in VMEM. Dispatched on TPU
+# backends (GADDPG_PALLAS=0 opts out); the lax.scan below is the XLA
+# reference path and the parity target (tests/test_pallas_physics.py).
+# ---------------------------------------------------------------------------
+
+def _resolve_scan_impl(scan_impl):
+    """None -> auto: Pallas on TPU backends unless GADDPG_PALLAS_PHYSICS=0.
+
+    Explicit values ("xla" | "pallas" | "interpret") are for tests and
+    benchmarks; `scan_impl` is a static jit arg so each choice compiles
+    its own executable."""
+    if scan_impl is not None:
+        return scan_impl
+    import os
+
+    if os.environ.get("GADDPG_PALLAS_PHYSICS", "") == "0":
+        return "xla"
+    from gaddpg_tpu.ops.pallas_physics import contact_scan_available
+
+    return "pallas" if contact_scan_available() else "xla"
+
+
+def _pallas_contact_scan(p, n, obj, arm, sphere_sets, mass, inertia,
+                         hand_pos, hand_quat, hand_lin, hand_ang,
+                         interpret=False):
+    """Pack state/constants into the kernel's tiled layouts, run, unpack.
+
+    Pads B up to a multiple of the env tile and the sphere set up to the
+    kernel's NS=32 lanes (padding spheres parked at z=+1e6 with radius 0
+    can never contact)."""
+    from gaddpg_tpu.ops import pallas_physics as pp
+
+    B = mass.shape[0]
+    ns = sphere_sets.shape[1]
+    Bp = ((B + pp.E - 1) // pp.E) * pp.E
+
+    state16 = jnp.concatenate(
+        [obj.pos, obj.quat, obj.linvel, obj.angvel, arm.q[:, 7:9],
+         jnp.zeros((B, 1))], axis=1,
+    )
+    hand = jnp.concatenate([hand_pos, hand_quat, hand_lin, hand_ang], axis=-1)
+
+    sph = sphere_sets
+    if ns < pp.NS:
+        pad = jnp.zeros((B, pp.NS - ns, 4)).at[:, :, 2].set(1e6)
+        sph = jnp.concatenate([sph, pad], axis=1)
+    sph3 = jnp.moveaxis(sph[..., :3], -1, 0)             # (3, B, NS)
+    radii = sph[..., 3]
+    # fn_clamp groups are uniform per primitive, so rebuild at NS lanes
+    fncl = jnp.concatenate(
+        [
+            jnp.full((B, pp.NS), p.table_max_force),
+            jnp.full((B, 2 * pp.NS), 2.0 * p.finger_force),
+            jnp.full((B, pp.NS), p.palm_max_force),
+        ],
+        axis=1,
+    )
+    tgt = arm.q_target[:, 7:9]
+
+    def pad_b(x):
+        if Bp == B:
+            return x
+        reps = [(0, 0)] * x.ndim
+        ax = 1 if x.ndim == 3 and x.shape[0] in (3, n) else 0
+        reps[ax] = (0, Bp - B)
+        return jnp.pad(x, reps, mode="edge")
+
+    out = pp.contact_scan_pallas(
+        p, n, pad_b(state16), pad_b(hand), pad_b(sph3), pad_b(radii),
+        pad_b(mass[:, None]), pad_b(inertia), pad_b(fncl), pad_b(tgt),
+        interpret=interpret,
+    )[:B]
+    return (out[:, 0:3], out[:, 3:7], out[:, 7:10], out[:, 10:13],
+            out[:, 13:15], out[:, 15] > 0.5)
+
+
+# ---------------------------------------------------------------------------
 # the object-dynamics scan
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("p", "substeps"))
+@partial(jax.jit, static_argnames=("p", "substeps", "scan_impl"))
 @f32_matmuls
 def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
-                      mass, inertia, substeps=None):
+                      mass, inertia, substeps=None, scan_impl=None):
     """Advance a (B,)-batched PhysicsState by `substeps` 1-ms ticks.
 
     sphere_sets (B, NS, 4); mass (B,); inertia (B, 3).
     Matches physics_step semantics (base at the world origin).
+    `scan_impl`: None = auto (fused Pallas kernel on TPU backends, XLA
+    lax.scan elsewhere); "xla" | "pallas" | "interpret" force a path.
     """
     n = substeps if substeps is not None else p.substeps
+    impl = _resolve_scan_impl(scan_impl)
     B = mass.shape[0]
     arm = state.arm
 
@@ -400,14 +481,21 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         return (pos, quat, linvel, angvel, q_f, grip_any | grip_now), None
 
     obj = state.obj
-    carry0 = (
-        obj.pos, obj.quat, obj.linvel, obj.angvel,
-        arm.q[:, 7:9], jnp.zeros((B,), bool),
-    )
-    xs = (hand_pos, hand_quat, hand_lin, hand_ang)
-    (pos, quat, linvel, angvel, q_f, grip_any), _ = jax.lax.scan(
-        substep, carry0, xs
-    )
+    if impl in ("pallas", "interpret"):
+        pos, quat, linvel, angvel, q_f, grip_any = _pallas_contact_scan(
+            p, n, obj, arm, sphere_sets, mass, inertia,
+            hand_pos, hand_quat, hand_lin, hand_ang,
+            interpret=(impl == "interpret"),
+        )
+    else:
+        carry0 = (
+            obj.pos, obj.quat, obj.linvel, obj.angvel,
+            arm.q[:, 7:9], jnp.zeros((B,), bool),
+        )
+        xs = (hand_pos, hand_quat, hand_lin, hand_ang)
+        (pos, quat, linvel, angvel, q_f, grip_any), _ = jax.lax.scan(
+            substep, carry0, xs
+        )
 
     q_new = jnp.concatenate([q_traj[-1], q_f], axis=-1)
     return state.replace(
