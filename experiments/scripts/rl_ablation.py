@@ -1,0 +1,172 @@
+"""RL-path ablation (VERDICT round-1 item 3): WHY does the -Q
+actor-critic term lose to BC+DAgger in this build? Measured, not prose.
+
+Design: three same-budget offline arms on the SAME 20k-transition
+expert buffer (the flagship's bc_demos.npz), evaluated on the SAME
+fixed 200-scene protocol, plus a Q-calibration probe on held-out
+expert transitions:
+
+  noq       DDPG update with mix_policy_ratio=0: critic + aux train,
+            the policy learns pure BC -- the control arm
+  td3       mix_policy_ratio=0.1 (the reference's online value,
+            reference: experiments/cfgs/td3_critic_aux_policy_aux.yaml)
+            from the start
+  pretrain  mix=0 for the first half (critic "pretraining" on expert
+            data), then mix=0.1 -- the unfreeze probe suggested by the
+            round-1 verdict
+
+Q calibration: corr(min Q(s,a_expert), stored discounted return) and
+the mean gap, per arm. If td3 degrades while its Q stays uncalibrated,
+the mechanism is the critic gradient, not exploration (which offline
+arms have none of).
+
+    ARM=noq|td3|pretrain UPDATES=600 python experiments/scripts/rl_ablation.py
+    ARM=report python experiments/scripts/rl_ablation.py   # table from runs
+
+Runs on the default platform (axon/TPU: ~2.5 s/update; pure CPU is
+~10x slower). State under output/rl_ablation/<arm>/.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _platform  # noqa: E402,F401
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gaddpg_tpu import replay  # noqa: E402
+from gaddpg_tpu.agents.config import AgentConfig  # noqa: E402
+from gaddpg_tpu.agents.ddpg import (  # noqa: E402
+    extract_feature, make_ddpg_update, make_modules,
+)
+from gaddpg_tpu.agents.state import create_agent_state  # noqa: E402
+from gaddpg_tpu.envs.assets import library_from_index, verify_library_grasps  # noqa: E402
+from gaddpg_tpu.envs.scenes import load_scenes  # noqa: E402
+from gaddpg_tpu.replay.npz_io import load_npz  # noqa: E402
+from gaddpg_tpu.train.config import load_config  # noqa: E402
+from gaddpg_tpu.train.loop import Trainer  # noqa: E402
+
+ARM = os.environ.get("ARM", "noq")
+UPDATES = int(os.environ.get("UPDATES", 600))
+BATCH = int(os.environ.get("BATCH", 64))
+DATA = os.environ.get("DATA", "output/bc_long_r3")
+OUT = os.environ.get("OUT", "output/rl_ablation")
+EVAL_ENVS = int(os.environ.get("EVAL_ENVS", 25))
+
+
+def agent_cfg(mix):
+    return AgentConfig(batch_size=BATCH, mix_policy_ratio_list=(mix,),
+                       policy_aux=True, critic_aux=True)
+
+
+def q_calibration(state, cfg, buf, key, n=512):
+    """corr + gap between min-Q(s, a_expert) and stored returns."""
+    feat, policy, critic, _ = make_modules(cfg)
+    batch = replay.sample(buf, key, n, episode_max_len=8)
+    vfeat, _ = extract_feature(
+        feat, state.feat_params, state.feat_stats,
+        batch["point_state"], batch["time"],
+        action=batch["action"], value=True, train=False,
+        use_time=cfg.use_time,
+    )
+    q1, q2, _ = critic.apply({"params": state.critic_params}, vfeat)
+    q = np.asarray(jnp.minimum(q1[:, 0], q2[:, 0]))
+    ret = np.asarray(batch["return"])
+    corr = float(np.corrcoef(q, ret)[0, 1]) if q.std() > 1e-9 else 0.0
+    return {
+        "q_mean": float(q.mean()), "return_mean": float(ret.mean()),
+        "q_return_corr": corr, "q_overestimate": float((q - ret).mean()),
+    }
+
+
+def run_arm(arm):
+    out = os.path.join(OUT, arm)
+    os.makedirs(out, exist_ok=True)
+    t_start = time.time()
+
+    cfg = load_config(overrides={
+        "num_envs": EVAL_ENVS, "index_file": "ycb",
+        "batch_size": BATCH, "output_dir": out,
+    }, policy="DDPG")
+    lib = verify_library_grasps(library_from_index("ycb", "train"))
+    tr = Trainer(cfg, lib=lib)
+    num_pts = cfg.env.uniform_num_pts + 6
+    buf = load_npz(os.path.join(DATA, "bc_demos.npz"),
+                   buffer_size=25000, num_points=num_pts)
+    print(f"[{arm}] buffer: {int(buf.filled)} transitions", flush=True)
+
+    key = jax.random.PRNGKey(7)
+    phases = {
+        "noq": [(0.0, UPDATES)],
+        "td3": [(0.1, UPDATES)],
+        "pretrain": [(0.0, UPDATES // 2), (0.1, UPDATES - UPDATES // 2)],
+    }[arm]
+
+    state = create_agent_state(jax.random.PRNGKey(0), agent_cfg(0.0),
+                               npoints=num_pts)
+    losses = []
+    for mix, n_upd in phases:
+        acfg = agent_cfg(mix)
+        update = jax.jit(make_ddpg_update(acfg), donate_argnums=(0,))
+        for i in range(n_upd):
+            key, k1, k2 = jax.random.split(key, 3)
+            batch = replay.sample(buf, k1, BATCH, episode_max_len=8)
+            state, m = update(state, batch, k2)
+            losses.append(
+                (float(m["critic_loss"]), float(m["bc_loss"]))
+            )
+            if (len(losses)) % 50 == 0:
+                print(f"[{arm}] upd {len(losses)}: critic={losses[-1][0]:.4f} "
+                      f"bc={losses[-1][1]:.4f} "
+                      f"({(time.time()-t_start)/len(losses):.2f}s/upd)",
+                      flush=True)
+
+    calib = q_calibration(state, agent_cfg(0.0), buf, jax.random.PRNGKey(99))
+    print(f"[{arm}] calibration: {calib}", flush=True)
+
+    # fixed-scene evaluation (the flagship protocol's scene set)
+    scenes = load_scenes(os.path.join(DATA, "eval_scenes.npz"))
+    n_scenes = len(np.asarray(scenes["obj_idx"]))
+    tr.agent_state = state
+    waves = -(-n_scenes // tr.cfg.num_envs)
+    rate, _ = tr.evaluate(episodes=waves, scenes=scenes)
+    print(f"[{arm}] fixed-scene success: {rate:.3f}", flush=True)
+
+    with open(os.path.join(out, "result.json"), "w") as f:
+        json.dump({
+            "arm": arm, "updates": UPDATES, "batch": BATCH,
+            "success": rate, "calibration": calib,
+            "critic_loss_last50": float(np.mean([l[0] for l in losses[-50:]])),
+            "bc_loss_last50": float(np.mean([l[1] for l in losses[-50:]])),
+            "seconds": round(time.time() - t_start, 1),
+        }, f, indent=1)
+
+
+def report():
+    rows = []
+    for arm in ("noq", "td3", "pretrain"):
+        p = os.path.join(OUT, arm, "result.json")
+        if os.path.exists(p):
+            rows.append(json.load(open(p)))
+    for r in rows:
+        c = r["calibration"]
+        print(f"{r['arm']:9s} success={r['success']:.3f} "
+              f"q_mean={c['q_mean']:.3f} ret_mean={c['return_mean']:.3f} "
+              f"corr={c['q_return_corr']:.3f} "
+              f"overest={c['q_overestimate']:+.3f}")
+
+
+if __name__ == "__main__":
+    if ARM == "report":
+        report()
+    else:
+        run_arm(ARM)

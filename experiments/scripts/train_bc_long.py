@@ -23,6 +23,9 @@ import numpy as np
 import jax
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _platform  # noqa: E402,F401  (CPU override, see _platform.py)
 
 from gaddpg_tpu import replay  # noqa: E402
 from gaddpg_tpu.envs.assets import library_from_index  # noqa: E402
@@ -33,6 +36,13 @@ from gaddpg_tpu.train.config import load_config  # noqa: E402
 from gaddpg_tpu.train.loop import Trainer  # noqa: E402
 
 OUT = os.environ.get("OUT", "output/bc_long")
+# object library + clutter knobs: INDEX may be a built-in name ("ycb",
+# "extra_shape", "proc_shapenet:N") or a mesh-index JSON path (the
+# filter_shapenet.json pattern); CLUTTER > 0 trains in dynamic-clutter
+# scenes (physics/multi.py), the round-4 learned-clutter artifact
+INDEX = os.environ.get("INDEX", "ycb")
+SPLIT = os.environ.get("SPLIT", "train")
+CLUTTER = int(os.environ.get("CLUTTER", 0))
 ENVS = int(os.environ.get("ENVS", 24))
 TARGET_TRANSITIONS = int(os.environ.get("TARGET_TRANSITIONS", 5000))
 MAX_UPDATES = int(os.environ.get("MAX_UPDATES", 4000))
@@ -73,10 +83,12 @@ def main():
         "dagger": False,
         "buffer_size": buffer_size,
         "max_epoch": MAX_UPDATES + DAGGER_WAVES * DAGGER_UPDATES_PER_WAVE + 1,
-        "index_file": "ycb",
+        "index_file": INDEX,
+        "index_split": SPLIT,
+        "num_clutter": CLUTTER,
         "output_dir": OUT,
     }, policy="BC")
-    lib = library_from_index("ycb", "train")
+    lib = library_from_index(INDEX, SPLIT)
     if os.environ.get("VERIFY_GRASPS", "1") == "1":
         from gaddpg_tpu.envs.assets import verify_library_grasps
         lib = verify_library_grasps(lib)  # physics-verified grasp DB

@@ -190,8 +190,12 @@ def export_proc_index(out_dir: str, n_train: int, n_test: int,
     """
     import json
 
+    import time
+
     os.makedirs(os.path.join(out_dir, "meshes"), exist_ok=True)
     idx = {"train": [], "test": []}
+    stats = {"families": {}, "skipped": 0, "seconds": 0.0}
+    t0 = time.time()
     seed = seed0
     for split, n in (("train", n_train), ("test", n_test)):
         made = 0
@@ -202,16 +206,27 @@ def export_proc_index(out_dir: str, n_train: int, n_test: int,
             # in-memory flows produce the SAME library for the same
             # seeds (advisor round-1 finding)
             entry, name = proc_entry(seed)
-            tris, _ = random_proc_mesh(seed)
+            tris, fam = random_proc_mesh(seed)
             seed += 1
             attempts += 1
             if entry["grasps"] is None or len(entry["grasps"]) == 0:
+                stats["skipped"] += 1
                 continue
             rel = os.path.join("meshes", name + ".obj")
             write_obj(os.path.join(out_dir, rel), tris)
             idx[split].append({"name": name, "obj": rel})
             made += 1
+            f = stats["families"].setdefault(
+                fam, {"count": 0, "grasps": 0, "spheres": 0}
+            )
+            f["count"] += 1
+            f["grasps"] += int(len(entry["grasps"]))
+            f["spheres"] += int(len(entry["spheres"]))
+    stats["seconds"] = round(time.time() - t0, 1)
+    stats["total"] = sum(f["count"] for f in stats["families"].values())
     path = os.path.join(out_dir, "proc_shapenet.json")
     with open(path, "w") as f:
         json.dump(idx, f, indent=1)
+    with open(os.path.join(out_dir, "gen_stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
     return path
