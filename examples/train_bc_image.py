@@ -32,6 +32,9 @@ def main():
         "output_dir": "output/bc_image",
         "use_image": True,
         "IMG_SIZE": img,
+        # per-episode visual randomization (albedo/lighting/noise,
+        # reference: env/panda_scene.py:599-618,680-690)
+        "domain_rand": os.environ.get("DOMAIN_RAND", "0") == "1",
     }, policy="BC")
     assert cfg.env.use_image and cfg.env.camera.width == img
     lib = box_asset(0.05, 0.05, 0.12, mass=0.2)

@@ -57,6 +57,10 @@ DAGGER_UPDATES_PER_WAVE = int(os.environ.get("DAGGER_UPDATES_PER_WAVE", 40))
 # DART perturbation on expert episodes (recovery-state supervision,
 # reference: env/panda_scene.py:1069-1076; excluded from the critic)
 DART = os.environ.get("DART", "0") == "1"
+# buffer-save cadence during collection (device->host transfer +
+# compression of the whole buffer: minutes per save on the tunnel
+# device/1-core host -- raise this when resumability doesn't matter)
+SAVE_EVERY = int(os.environ.get("SAVE_EVERY", 5))
 
 
 def log(msg):
@@ -115,7 +119,7 @@ def main():
         stats = tr.collect()
         wave += 1
         log(f"collect wave {wave}: {stats} ({time.time()-t0:.0f}s)")
-        if wave % 5 == 0:
+        if wave % SAVE_EVERY == 0:
             save_npz(tr.buffer, data_path)
         if time.time() - t_start > MAX_HOURS * 3600 * 0.5:
             log("collection time budget hit")

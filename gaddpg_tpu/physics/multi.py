@@ -17,7 +17,9 @@ to M = K+1 free bodies per env:
      penetration from EVERY body (reshape (B, M, ...) -> sum over M);
   2. object-object contact: penalty spring-damper forces between
      per-body coarse sphere sets (ObjectLibrary.coarse_spheres), with
-     viscous tangential friction capped by the Coulomb cone. Computed
+     stiction-exact tangential friction capped by the Coulomb cone
+     (the stick impulse brakes slide to zero within the substep, using
+     the pair's rotational effective mass along the slide). Computed
      as a full (M, M) antisymmetric tensor, so Newton's third law holds
      exactly and momentum is conserved up to table/gripper friction.
 
@@ -39,7 +41,8 @@ from gaddpg_tpu.physics.types import BodyState, PhysicsParams, PhysicsState
 from gaddpg_tpu.utils.precision import f32_matmuls
 
 
-def _pair_forces(p: PhysicsParams, pos, quat, linvel, angvel, coarse, mass):
+def _pair_forces(p: PhysicsParams, pos, quat, linvel, angvel, coarse, mass,
+                 inertia):
     """Object-object contact forces between coarse sphere sets.
 
     pos/quat/linvel/angvel: (B, M, ...) body states; coarse (B, M, NC, 4)
@@ -109,16 +112,59 @@ def _pair_forces(p: PhysicsParams, pos, quat, linvel, angvel, coarse, mass):
 
     vt = v_rel - vn[..., None] * nrm
     vt_n = jnp.linalg.norm(vt, axis=-1)
-    ft_mag = jnp.minimum(
-        jnp.minimum(p.obj_obj_tangent_damping, damp) * vt_n,
-        p.friction_mu * fn,
+    # stiction-exact tangential pass (round 4; was viscous): the force
+    # brakes the relative slide to ZERO within the substep when the
+    # Coulomb budget allows it, so stacked/leaning clutter holds instead
+    # of creeping under sustained tangential load. The stick impulse
+    # uses the pair's effective inverse mass ALONG THE SLIDE DIRECTION
+    # -- 1/m + (r x t)^T I^-1 (r x t), same form as the single-body
+    # friction stack in fast.py -- because the contact torque feeds
+    # back into the contact-point velocity; the linear-only w_pair
+    # would overshoot and ring.
+    t_dir = vt / jnp.maximum(vt_n, 1e-9)[..., None]
+    q_conj = quat * jnp.array([1.0, -1, -1, -1])
+    rxt_i = quat_rotate(
+        q_conj[:, :, None, None, None, :], jnp.cross(r_i, t_dir)
     )
+    rxt_j = quat_rotate(
+        q_conj[:, None, :, None, None, :], jnp.cross(r_j, t_dir)
+    )
+    inv_I = 1.0 / inertia
+    w_rot = jnp.sum(
+        rxt_i**2 * inv_I[:, :, None, None, None, :], axis=-1
+    ) + jnp.sum(rxt_j**2 * inv_I[:, None, :, None, None, :], axis=-1)
+    f_stick = 0.9 * vt_n / (p.dt * (w_pair + w_rot) * share)
+    ft_mag = jnp.minimum(f_stick, p.friction_mu * fn)
     f_pair = fn[..., None] * nrm - ft_mag[..., None] * (
         vt / jnp.maximum(vt_n, 1e-9)[..., None]
     )
 
     force = jnp.sum(f_pair, axis=(2, 3, 4))                       # (B,M,3)
     torque = jnp.sum(jnp.cross(r_i, f_pair), axis=(2, 3, 4))
+
+    # pair ROLLING stiction (round 4): coarse-sphere proxies make every
+    # object-object contact a point contact with zero rolling
+    # resistance, so a box stacked on a box "rolls" off the sphere
+    # bumps even when slide stiction holds (a rolling contact point has
+    # no relative slip for the tangential pass to brake). Real flat
+    # faces resist rolling with a torque up to mu * N * patch_radius;
+    # apply that as a stiction-style brake on the PAIR's relative
+    # angular velocity, equal-and-opposite so total angular momentum is
+    # conserved. Budget scales with the summed normal force, so free
+    # flight and glancing hits keep their spin.
+    w_rel = angvel[:, :, None, :] - angvel[:, None, :, :]         # (B,M,M,3)
+    wn_rel = jnp.linalg.norm(w_rel, axis=-1)
+    inv_I_pair = jnp.max(inv_I, axis=-1)[:, :, None] + jnp.max(
+        inv_I, axis=-1
+    )[:, None, :]                                                 # (B,M,M)
+    tau_stick = 0.9 * wn_rel / (p.dt * jnp.maximum(inv_I_pair, 1e-9))
+    fn_sum = jnp.sum(fn, axis=(3, 4))                             # (B,M,M)
+    tau_budget = p.friction_mu * fn_sum * p.obj_obj_roll_patch
+    tau_mag = jnp.minimum(tau_stick, tau_budget)
+    tau_roll = -tau_mag[..., None] * (
+        w_rel / jnp.maximum(wn_rel, 1e-9)[..., None]
+    )
+    torque = torque + jnp.sum(tau_roll, axis=2)
     return force, torque
 
 
@@ -298,7 +344,7 @@ def multi_physics_step(p: PhysicsParams, state: PhysicsState, spheres,
                 p,
                 pos.reshape(B, M, 3), quat.reshape(B, M, 4),
                 linvel.reshape(B, M, 3), angvel.reshape(B, M, 3),
-                coarse, mass,
+                coarse, mass, inertia,
             )
             dv_c = dv_c + p.dt * f_oo.reshape(BM, 3) / mass_c
             dw_c_body = dw_c_body + p.dt * quat_rotate(

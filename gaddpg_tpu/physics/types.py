@@ -98,11 +98,15 @@ class PhysicsParams:
     # coarse sphere sets; per-pair force cap + viscous tangential
     # friction capped by the Coulomb cone of the pair normal force.
     obj_obj_max_force: float = 100.0     # N per sphere pair
-    obj_obj_tangent_damping: float = 30.0  # N s/m
+    obj_obj_tangent_damping: float = 30.0  # N s/m (superseded round 4:
+    # the pair tangential pass is stiction-exact now; kept for config
+    # compatibility)
     # ceiling on the relative separation speed the pair spring may
     # create: overlap relaxes at <= this, impacts rebound at <= this
     # (near-zero restitution), so deep spawn overlap can never eject
     obj_obj_sep_vmax: float = 0.10       # m/s
+    obj_obj_roll_patch: float = 0.015    # m: contact-patch radius for the
+    # pair rolling-stiction torque budget (mu * N * patch)
 
     table_z: float = 0.0                 # table top plane in world frame
 

@@ -137,6 +137,7 @@ _RL_TRAIN_MAP = {
 # env-level keys (EnvParams fields settable from experiment YAML)
 _ENV_MAP = {
     "num_clutter": "num_clutter",
+    "domain_rand": "domain_rand",
     "use_planner": "use_planner",
     "RL_MAX_STEP_ENV": "max_steps",
     "reset_tries": "reset_tries",

@@ -211,6 +211,98 @@ class TestMultiBody:
         assert float(st.obj.pos[0, 2]) < 0.3
         assert float(clut.pos[0, 0, 2]) < 0.3
 
+    def test_stacked_clutter_holds(self):
+        # clutter box stacked ON the target box (object-object support,
+        # not the table): must settle and HOLD -- no creep, no spin-off
+        # -- for 5 policy steps (0.75 s). Exercises the round-4 pair
+        # stiction + rolling-stiction passes at the scene level.
+        lib = make_lib()
+        st = batched_phys([0.55, 0.0, 0.0501])
+        sph, coarse, mass, inertia = pack_inputs(lib, 0, [1])
+        clut = clutter_bodies([[0.55, 0.0, 0.1301]])
+        for _ in range(5):
+            st, clut, _ = multi_physics_step(
+                P, st, sph, coarse, mass, inertia, clut
+            )
+        assert abs(float(clut.pos[0, 0, 0]) - 0.55) < 2e-3
+        assert 0.115 < float(clut.pos[0, 0, 2]) < 0.155, clut.pos
+        assert float(jnp.linalg.norm(clut.linvel[0, 0])) < 5e-3
+        assert float(jnp.linalg.norm(clut.angvel[0, 0])) < 0.05
+        # and the target under it did not scoot away
+        assert abs(float(st.obj.pos[0, 0]) - 0.55) < 5e-3
+
+    def test_pair_friction_stick_and_slide(self):
+        # unit pin of the round-4 stiction-exact pair tangential model
+        # (was viscous): two single-sphere bodies pressed 1 mm together,
+        # relative slide along x.
+        from gaddpg_tpu.physics.multi import _pair_forces
+
+        r = 0.02
+        pos = jnp.array([[[0.0, 0.0, 0.0], [0.0, 0.0, 2 * r - 0.001]]])
+        quat = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 2, 1))
+        coarse = jnp.zeros((1, 2, 1, 4)).at[..., 3].set(r)
+        mass = jnp.full((1, 2), 0.2)
+        inertia = jnp.full((1, 2, 3), 0.2 * 0.4 * r * r)
+        zeros = jnp.zeros((1, 2, 3))
+
+        def ft_at(vx):
+            lv = zeros.at[0, 1, 0].set(vx)
+            f, _ = _pair_forces(P, pos, quat, lv, zeros, coarse, mass,
+                                inertia)
+            return float(f[0, 1, 0]), float(f[0, 0, 2])
+
+        # fast slide: kinetic Coulomb, ft == mu * fn exactly
+        ft, fn = ft_at(0.5)
+        assert abs(-ft - P.friction_mu * (-fn)) < 1e-3 * abs(fn), (ft, fn)
+        # slow slide: STICK regime -- the force is the impulse that
+        # brakes the contact-point slip within one substep (linear in
+        # v, far below the Coulomb cap), not a fixed viscous coefficient
+        ft_a, _ = ft_at(0.002)
+        ft_b, _ = ft_at(0.01)
+        assert abs(ft_b / ft_a - 5.0) < 0.5, (ft_a, ft_b)
+        assert abs(ft_b) < 0.5 * P.friction_mu * abs(fn)
+        # the stick impulse must account for the rotational response
+        # (sphere spins into rolling): weaker than the linear-only
+        # m*v/dt estimate
+        w_lin = 2.0 / 0.2
+        assert abs(ft_b) < 0.9 * 0.01 / (P.dt * w_lin)
+
+    def test_pair_rolling_stiction_torque(self):
+        # a pressed, spinning pair receives a braking torque; a
+        # separated pair receives none (budget scales with fn)
+        from gaddpg_tpu.physics.multi import _pair_forces
+
+        r = 0.02
+        quat = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 2, 1))
+        coarse = jnp.zeros((1, 2, 1, 4)).at[..., 3].set(r)
+        mass = jnp.full((1, 2), 0.2)
+        inertia = jnp.full((1, 2, 3), 0.2 * 0.4 * r * r)
+        zeros = jnp.zeros((1, 2, 3))
+        av = zeros.at[0, 1, 1].set(2.0)
+
+        pressed = jnp.array([[[0.0, 0.0, 0.0], [0.0, 0.0, 2 * r - 0.001]]])
+        f, tau = _pair_forces(P, pressed, quat, zeros, av, coarse, mass,
+                              inertia)
+        fn = -float(f[0, 0, 2])
+        budget = P.friction_mu * fn * P.obj_obj_roll_patch
+        # brake torque opposes the spin, bounded by the patch budget
+        # plus the tangential pass's own lever contribution
+        assert float(tau[0, 1, 1]) < 0.0
+        assert -float(tau[0, 1, 1]) < budget + P.friction_mu * fn * 2 * r
+        # total angular momentum about the world origin is conserved:
+        # sum_i (r_i x F_i + tau_i) == 0 (forces are equal-opposite at
+        # the shared contact point; the roll-brake torque pair cancels)
+        l_dot = (
+            jnp.cross(pressed[0, 0], f[0, 0]) + tau[0, 0]
+            + jnp.cross(pressed[0, 1], f[0, 1]) + tau[0, 1]
+        )
+        np.testing.assert_allclose(np.asarray(l_dot), 0.0, atol=1e-5)
+
+        apart = jnp.array([[[0.0, 0.0, 0.0], [0.0, 0.0, 4 * r]]])
+        _, tau0 = _pair_forces(P, apart, quat, zeros, av, coarse, mass,
+                               inertia)
+        np.testing.assert_allclose(np.asarray(tau0), 0.0, atol=1e-9)
+
     def test_gripper_clutter_contact_event(self):
         lib = make_lib()
         q = jnp.concatenate([DEFAULT_JOINTS, jnp.array([0.04, 0.04])])
