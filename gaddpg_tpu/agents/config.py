@@ -25,6 +25,11 @@ class AgentConfig:
     # use_image, core/networks.py:106-147)
     use_image: bool = False
     image_size: int = 112
+    # path to a torchvision resnet18 checkpoint (.pth state dict or .npz)
+    # to initialize both image encoders from, mirroring the reference's
+    # pretrained=True (reference: core/networks.py:38-58,118,126). The
+    # weights are not auto-downloaded (zero-egress); empty = from scratch.
+    pretrained_resnet: str = ""
     # matmul compute dtype for the feature trunks: "bfloat16" runs the
     # PointNet grouped MLPs on the MXU at 2x throughput on real TPUs
     # (params and BatchNorm stay float32; geometry paths are pinned to

@@ -96,6 +96,19 @@ def make_optimizers(cfg: AgentConfig) -> Dict[str, optax.GradientTransformation]
     }
 
 
+def _read_state_dict(path: str):
+    """Torchvision checkpoint from disk: torch .pth pickle or .npz with
+    the same key names."""
+    if path.endswith(".npz"):
+        import numpy as np
+
+        return dict(np.load(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return sd.get("state_dict", sd)
+
+
 def create_agent_state(key, cfg: AgentConfig, npoints: int = 1030) -> AgentState:
     feat, policy, critic, goal = make_modules(cfg)
     txs = make_optimizers(cfg)
@@ -121,6 +134,14 @@ def create_agent_state(key, cfg: AgentConfig, npoints: int = 1030) -> AgentState
         if hasattr(feat_vars["batch_stats"], "unfreeze")
         else {**feat_vars_v["batch_stats"], **feat_vars["batch_stats"]}
     )
+
+    if cfg.use_image and cfg.pretrained_resnet:
+        from gaddpg_tpu.models.resnet import load_pretrained_encoders
+
+        p, s = load_pretrained_encoders(
+            feat_params, feat_stats, _read_state_dict(cfg.pretrained_resnet)
+        )
+        feat_params, feat_stats = FrozenDict(p), FrozenDict(s)
 
     state_feat = jnp.zeros((1, cfg.num_inputs))
     policy_params = policy.init(k2, state_feat)["params"]

@@ -4,7 +4,10 @@ TPU counterpart of the reference's torchvision-based `ResNetFeature`
 (reference: core/networks.py:106-147): 5-channel 112x112 RGBDM input,
 512-d output, with the same per-channel normalization constants. No
 pretrained weights are auto-downloaded (zero-egress); `load_torch_state`
-can ingest a torchvision state dict if one is provided on disk.
+/ `load_pretrained_encoders` ingest a torchvision resnet18 state dict
+provided on disk (`AgentConfig.pretrained_resnet`), zero-extending the
+first conv to the 5-channel input exactly like the reference
+(reference: core/networks.py:38-58).
 """
 
 from typing import Sequence
@@ -15,6 +18,117 @@ import flax.linen as nn
 # RGB stats + identity for depth/mask (reference: core/networks.py:129-132).
 _MEAN = jnp.array([0.485, 0.456, 0.406, 0.0, 0.0])
 _STD = jnp.array([0.229, 0.224, 0.225, 1.0, 1.0])
+
+
+def _torch_block_entries(stage_sizes):
+    """(flax BasicBlock name, torch 'layerL.B' prefix, has_downsample)."""
+    entries = []
+    idx = 0
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            entries.append((
+                f"BasicBlock_{idx}",
+                f"layer{stage + 1}.{b}",
+                b == 0 and stage > 0,  # stride-2/width-change blocks
+            ))
+            idx += 1
+    return entries
+
+
+def _conv(w):
+    """torch (O, I, kh, kw) -> flax kernel (kh, kw, I, O)."""
+    import numpy as np
+
+    return jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0)), jnp.float32)
+
+
+def load_torch_state(variables, state_dict, stage_sizes=(2, 2, 2, 2)):
+    """Map a torchvision resnet18 state dict onto ONE ResNet18Feature.
+
+    `variables` is {"params": ..., "batch_stats": ...} for a single
+    ResNet18Feature; returns the same structure (plain dicts) with every
+    conv/BN leaf replaced by the torch weights. Like the reference
+    (reference: core/networks.py:38-58 _resnet), the first conv is
+    zero-extended from the pretrained 3 input channels to this model's
+    input_channels, and the torchvision `fc` head is ignored (this trunk
+    ends at global average pooling). Values may be torch CPU tensors or
+    numpy arrays.
+    """
+    import numpy as np
+
+    from flax.core import unfreeze
+
+    params = unfreeze(variables["params"])
+    stats = unfreeze(variables["batch_stats"])
+
+    def put_bn(flax_name, torch_prefix):
+        params[flax_name]["scale"] = jnp.asarray(
+            np.asarray(state_dict[torch_prefix + ".weight"]), jnp.float32)
+        params[flax_name]["bias"] = jnp.asarray(
+            np.asarray(state_dict[torch_prefix + ".bias"]), jnp.float32)
+        stats[flax_name]["mean"] = jnp.asarray(
+            np.asarray(state_dict[torch_prefix + ".running_mean"]), jnp.float32)
+        stats[flax_name]["var"] = jnp.asarray(
+            np.asarray(state_dict[torch_prefix + ".running_var"]), jnp.float32)
+
+    # stem: conv1 zero-extended 3 -> input_channels along flax axis 2
+    w1 = _conv(state_dict["conv1.weight"])
+    k1 = params["Conv_0"]["kernel"]
+    if k1.shape[2] > w1.shape[2]:
+        w1 = jnp.concatenate(
+            [w1, jnp.zeros(w1.shape[:2] + (k1.shape[2] - w1.shape[2], w1.shape[3]),
+                           jnp.float32)], axis=2)
+    params["Conv_0"]["kernel"] = w1
+    put_bn("BatchNorm_0", "bn1")
+
+    for flax_block, torch_block, has_ds in _torch_block_entries(stage_sizes):
+        blk = params[flax_block]
+        bst = stats[flax_block]
+        blk["Conv_0"]["kernel"] = _conv(state_dict[torch_block + ".conv1.weight"])
+        blk["Conv_1"]["kernel"] = _conv(state_dict[torch_block + ".conv2.weight"])
+        for i in (0, 1):
+            bn = f"BatchNorm_{i}"
+            tp = f"{torch_block}.bn{i + 1}"
+            blk[bn]["scale"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".weight"]), jnp.float32)
+            blk[bn]["bias"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".bias"]), jnp.float32)
+            bst[bn]["mean"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".running_mean"]), jnp.float32)
+            bst[bn]["var"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".running_var"]), jnp.float32)
+        if has_ds:
+            blk["Conv_2"]["kernel"] = _conv(
+                state_dict[torch_block + ".downsample.0.weight"])
+            tp = torch_block + ".downsample.1"
+            blk["BatchNorm_2"]["scale"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".weight"]), jnp.float32)
+            blk["BatchNorm_2"]["bias"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".bias"]), jnp.float32)
+            bst["BatchNorm_2"]["mean"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".running_mean"]), jnp.float32)
+            bst["BatchNorm_2"]["var"] = jnp.asarray(
+                np.asarray(state_dict[tp + ".running_var"]), jnp.float32)
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_pretrained_encoders(feat_params, feat_stats, state_dict):
+    """Load a torchvision resnet18 state dict into BOTH ImageFeature
+    encoders (the reference pretrains policy and value encoders alike,
+    reference: core/networks.py:118,126). Returns (params, stats) as
+    plain dict trees with the same top-level layout."""
+    from flax.core import unfreeze
+
+    params = unfreeze(feat_params)
+    stats = unfreeze(feat_stats)
+    for enc in ("encoder", "value_encoder"):
+        loaded = load_torch_state(
+            {"params": params[enc], "batch_stats": stats[enc]}, state_dict
+        )
+        params[enc] = loaded["params"]
+        stats[enc] = loaded["batch_stats"]
+    return params, stats
 
 
 class BasicBlock(nn.Module):

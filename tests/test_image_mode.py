@@ -164,3 +164,86 @@ class TestDomainRandomization:
         _, obs_b = reobserve(state.replace(vis_seed=jnp.asarray(2, jnp.int32)), k_obs)
         np.testing.assert_array_equal(np.asarray(obs_a.image),
                                       np.asarray(obs_b.image))
+
+
+def _synthetic_resnet18_sd(seed=0):
+    """Torchvision-resnet18-shaped state dict with random values
+    (zero-egress stands in for the real download; key names and shapes
+    are the torchvision contract the loader maps from)."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name] = rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = (
+            np.abs(rng.standard_normal(c)) + 0.5
+        ).astype(np.float32)
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    inc = 64
+    for stage, ch in enumerate((64, 128, 256, 512)):
+        for b in range(2):
+            p = f"layer{stage + 1}.{b}"
+            conv(p + ".conv1.weight", ch, inc if b == 0 else ch, 3)
+            bn(p + ".bn1", ch)
+            conv(p + ".conv2.weight", ch, ch, 3)
+            bn(p + ".bn2", ch)
+            if b == 0 and stage > 0:
+                conv(p + ".downsample.0.weight", ch, inc, 1)
+                bn(p + ".downsample.1", ch)
+            inc = ch
+    sd["fc.weight"] = rng.standard_normal((1000, 512)).astype(np.float32)
+    sd["fc.bias"] = rng.standard_normal(1000).astype(np.float32)
+    return sd
+
+
+class TestPretrainedLoad:
+    """torchvision state-dict ingestion (reference: core/networks.py:38-58
+    zero-extended conv1 + strict=False load)."""
+
+    def test_load_torch_state_maps_and_extends(self):
+        from gaddpg_tpu.models.resnet import ResNet18Feature, load_torch_state
+
+        sd = _synthetic_resnet18_sd()
+        model = ResNet18Feature()
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 5, S, S)), train=False)
+        loaded = load_torch_state(variables, sd)
+
+        stem = np.asarray(loaded["params"]["Conv_0"]["kernel"])  # (7,7,5,64)
+        np.testing.assert_allclose(
+            stem[:, :, :3, :], np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
+            rtol=1e-6)
+        assert np.all(stem[:, :, 3:, :] == 0.0)  # zero-extended channels
+
+        # layer3.0 (stride-2, downsample) lands on BasicBlock_4.Conv_2
+        blk = loaded["params"]["BasicBlock_4"]
+        np.testing.assert_allclose(
+            np.asarray(blk["Conv_2"]["kernel"]),
+            np.transpose(sd["layer3.0.downsample.0.weight"], (2, 3, 1, 0)),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(loaded["batch_stats"]["BasicBlock_4"]["BatchNorm_2"]["mean"]),
+            sd["layer3.0.downsample.1.running_mean"], rtol=1e-6)
+
+        out = model.apply(loaded, jnp.ones((2, 5, S, S)), train=False)
+        assert out.shape == (2, 512) and bool(jnp.all(jnp.isfinite(out)))
+
+    def test_agent_state_pretrained_init(self, tmp_path):
+        sd = _synthetic_resnet18_sd(seed=3)
+        path = str(tmp_path / "resnet18.npz")
+        np.savez(path, **sd)
+
+        cfg = AgentConfig(use_image=True, image_size=S, batch_size=2,
+                          pretrained_resnet=path)
+        state = create_agent_state(jax.random.PRNGKey(0), cfg, npoints=70)
+        want = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+        for enc in ("encoder", "value_encoder"):
+            got = np.asarray(state.feat_params[enc]["Conv_0"]["kernel"])
+            np.testing.assert_allclose(got[:, :, :3, :], want, rtol=1e-6)
