@@ -11,6 +11,12 @@ this run asks whether RL can push past BC=expert parity.
     JAX_PLATFORMS=cpu python experiments/scripts/ddpg_finetune.py
 Env knobs: IN (output/bc_long_r3), OUT (output/ddpg_ft), MAX_HOURS (1.2),
 ITERS (400), ENVS (24).
+
+SCRATCH=1 runs the reference's from-scratch ONLINE protocol instead
+(td3_critic_aux_policy_aux.yaml posture: no checkpoint, empty buffers,
+yaml explore/mix schedules; reference: core/train_online.py:531-574) —
+the round-1 VERDICT item-3 probe. Wall-bounded; pair with the offline
+mechanism arms in ABLATIONS.md.
 """
 
 import json
@@ -34,36 +40,45 @@ OUT = os.environ.get("OUT", "output/ddpg_ft")
 MAX_HOURS = float(os.environ.get("MAX_HOURS", 1.2))
 ITERS = int(os.environ.get("ITERS", 400))
 ENVS = int(os.environ.get("ENVS", 24))
+SCRATCH = os.environ.get("SCRATCH", "0") == "1"
 
 
 def main():
     os.makedirs(OUT, exist_ok=True)
+    overrides = {
+        "num_remotes": ENVS,
+        "batch_size": 64,
+        "updates_per_step": 8,
+        "RL_MEMORY_SIZE": 60000,
+        "ONPOLICY_MEMORY_SIZE": 30000,
+        "output_dir": OUT,
+    }
+    if not SCRATCH:
+        # fine-tune posture: modest exploration, gentle RL mixing
+        # (from-scratch keeps the yaml's explore/mix schedules)
+        overrides["explore_ratio_list"] = [0.3]
+        overrides["mix_policy_ratio_list"] = [0.1]
     cfg = load_config(
         "experiments/cfgs/td3_critic_aux_policy_aux.yaml",
-        overrides={
-            "num_remotes": ENVS,
-            "batch_size": 64,
-            "updates_per_step": 8,
-            # fine-tune posture: modest exploration, gentle RL mixing
-            "explore_ratio_list": [0.3],
-            "mix_policy_ratio_list": [0.1],
-            "RL_MEMORY_SIZE": 60000,
-            "ONPOLICY_MEMORY_SIZE": 30000,
-            "output_dir": OUT,
-        },
+        overrides=overrides,
         policy="DDPG",
     )
     lib = verify_library_grasps(library_from_index("ycb", "train"))
     tr = Trainer(cfg, lib=lib)
-    tr.buffer = load_npz(
-        os.path.join(IN, "bc_demos.npz"), buffer_size=cfg.buffer_size,
-        num_points=cfg.env.uniform_num_pts + 6,
-    )
-    loaded = load_agent(tr.agent_state, IN)
-    assert loaded is not None, f"no BC checkpoint under {IN}"
-    tr.agent_state = loaded
-    print(f"loaded BC agent (update_step={tr.update_step}) + "
-          f"{int(replay.upper_idx(tr.buffer))} expert transitions", flush=True)
+    if SCRATCH:
+        print("from-scratch online TD3 (no checkpoint, empty buffers)",
+              flush=True)
+    else:
+        tr.buffer = load_npz(
+            os.path.join(IN, "bc_demos.npz"), buffer_size=cfg.buffer_size,
+            num_points=cfg.env.uniform_num_pts + 6,
+        )
+        loaded = load_agent(tr.agent_state, IN)
+        assert loaded is not None, f"no BC checkpoint under {IN}"
+        tr.agent_state = loaded
+        print(f"loaded BC agent (update_step={tr.update_step}) + "
+              f"{int(replay.upper_idx(tr.buffer))} expert transitions",
+              flush=True)
 
     t0 = time.time()
     for it in range(1, ITERS + 1):
