@@ -34,6 +34,7 @@ CLUTTER = int(os.environ.get("CLUTTER", 0))
 CKPT = os.environ.get("CKPT", "")
 WAVES = int(os.environ.get("WAVES", 6))
 ENVS = int(os.environ.get("ENVS", 24))
+SEED = int(os.environ.get("SEED", 3))  # vary for independent repeats
 OUT = os.environ.get("OUT", "")
 EXPERT = os.environ.get("EXPERT", "1") == "1"
 
@@ -60,6 +61,7 @@ def main():
     cfg = load_config(overrides={
         "num_envs": ENVS, "index_file": INDEX, "index_split": SPLIT,
         "num_clutter": CLUTTER, "output_dir": OUT or "output/eval_tmp",
+        "RNG_SEED": SEED,
     }, policy="BC")
     lib = library_from_index(INDEX, SPLIT)
     if os.environ.get("VERIFY_GRASPS", "1") == "1":
