@@ -14,26 +14,38 @@ vs_baseline is measured against the BASELINE.json north star of
 tens of env steps/sec total on a 4x V100 box, reference:
 core/train_online.py:540-546 + experiments/config.py:147).
 
+Resilience contract (round-2 verdict item 1): JAX backend init on the
+tunnel chip is flaky ("Unable to initialize backend 'axon':
+UNAVAILABLE"), and a failed init poisons the process. The parent
+process therefore never imports jax: it re-execs the real bench in a
+fresh child process, retries up to BENCH_ATTEMPTS times with backoff,
+and on persistent failure prints ONE parseable JSON line with an
+"error" field and exits 0 -- the driver must never record a bare
+traceback.
+
 Env knobs: BENCH_ENVS, BENCH_STEPS, BENCH_MODE=env|learner|all (default
-all), BENCH_LEARNER_BATCH, GADDPG_PALLAS=1 to route PointNet through
-the Pallas kernels.
+all), BENCH_LEARNER_BATCH, BENCH_ATTEMPTS, GADDPG_PALLAS=1 to route
+PointNet through the Pallas kernels.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 NUM_ENVS = int(os.environ.get("BENCH_ENVS", 1024))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 MODE = os.environ.get("BENCH_MODE", "all")
 LEARNER_BATCH = int(os.environ.get("BENCH_LEARNER_BATCH", 256))
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", 3))
 TARGET = 10000.0  # north-star env steps/sec/chip
 
 
 def bench_env_steps():
+    import jax
+    import jax.numpy as jnp
+
     from gaddpg_tpu.envs import EnvParams, PandaGraspEnv
     from gaddpg_tpu.envs.assets import library_from_index
 
@@ -49,10 +61,10 @@ def bench_env_steps():
     jax.block_until_ready(states.phys.obj.pos)
 
     actions = jnp.zeros((NUM_ENVS, 6)).at[:, 2].set(0.02)
-    step_keys = jax.random.split(jax.random.fold_in(key, 1), NUM_ENVS)
 
     # warm-up / compile
-    states, obs, r, d, info = step(states, actions, step_keys)
+    sk = jax.random.split(jax.random.fold_in(key, 1), NUM_ENVS)
+    states, obs, r, d, info = step(states, actions, sk)
     jax.block_until_ready(obs.point_state)
 
     t0 = time.perf_counter()
@@ -67,6 +79,9 @@ def bench_env_steps():
 def bench_learner_update(batch: int = 256, npts: int = 1030, iters: int = 3):
     """Jitted DDPG update time (ms) at the reference's training envelope
     (reference: experiments/config.py:72-73: batch 256, 1030-pt clouds)."""
+    import jax
+    import jax.numpy as jnp
+
     from gaddpg_tpu.agents.config import AgentConfig
     from gaddpg_tpu.agents.ddpg import make_ddpg_update
     from gaddpg_tpu.agents.state import create_agent_state
@@ -114,6 +129,9 @@ def probe_pallas_physics() -> bool:
     """Compile + run the fused contact-scan kernel on a tiny batch; on
     any failure fall the whole process back to the XLA scan so the
     headline bench always completes."""
+    import jax
+    import jax.numpy as jnp
+
     from gaddpg_tpu.physics.fast import _resolve_scan_impl
 
     if _resolve_scan_impl(None) != "pallas":
@@ -150,17 +168,39 @@ def probe_pallas_physics() -> bool:
         return False
 
 
-def main():
-    from gaddpg_tpu.ops import pallas_kernels
+def probe_pallas_sa_mlp() -> bool:
+    """Compile + run the fused set-abstraction grouped-MLP kernel
+    (gather -> per-point MLP -> max-pool) on a tiny problem; fall back
+    to the XLA path on any failure (round-2 verdict item 5)."""
+    try:
+        from gaddpg_tpu.ops.pallas_sa import sa_mlp_probe
 
+        return bool(sa_mlp_probe())
+    except Exception:
+        os.environ["GADDPG_PALLAS_SA"] = "0"
+        return False
+
+
+def run_bench():
+    from gaddpg_tpu.ops import pallas_kernels
     from gaddpg_tpu.physics.fast import _resolve_scan_impl
 
     result = {}
     if MODE in ("env", "all"):
-        # probe the fused Pallas contact-scan kernel (VERDICT round-1
+        # probe the fused Pallas contact-scan kernel (round-1 verdict
         # item 5); on failure the probe flips dispatch back to XLA
         pallas_physics_ok = probe_pallas_physics()
-        sps = bench_env_steps()
+        try:
+            sps = bench_env_steps()
+        except Exception:
+            # the tiny-shape probe does not guarantee the full-shape
+            # compile succeeds (round-2 advisor item 4): retry once on
+            # the XLA scan -- fresh shapes re-resolve the dispatch
+            if os.environ.get("GADDPG_PALLAS_PHYSICS") == "0":
+                raise
+            os.environ["GADDPG_PALLAS_PHYSICS"] = "0"
+            pallas_physics_ok = False
+            sps = bench_env_steps()
         result.update(
             metric=f"env steps/sec/chip at {NUM_ENVS} parallel envs",
             value=round(sps, 1),
@@ -171,6 +211,7 @@ def main():
             pallas_physics_ok and _resolve_scan_impl(None) == "pallas"
         )
     if MODE == "learner":
+        result["pallas_sa_mlp"] = probe_pallas_sa_mlp()
         ms = bench_learner_update(batch=LEARNER_BATCH)
         result.update(
             metric=f"DDPG update latency at batch {LEARNER_BATCH}",
@@ -185,9 +226,6 @@ def main():
         # the learner phase's XLA compile can take tens of minutes on
         # slow emulator days; run it in a bounded subprocess so the
         # headline env metric ALWAYS prints one JSON line on time
-        import subprocess
-        import sys
-
         budget = float(os.environ.get("BENCH_LEARNER_TIMEOUT", 1200))
         env = dict(os.environ, BENCH_MODE="learner")
         try:
@@ -198,12 +236,64 @@ def main():
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
             sub = json.loads(line)
             for k in ("learner_update_ms_b%d" % LEARNER_BATCH,
-                      "pallas_pointnet", "bf16_trunk"):
+                      "pallas_pointnet", "pallas_sa_mlp", "bf16_trunk"):
                 if k in sub:
                     result[k] = sub[k]
         except Exception as e:  # timeout / parse failure: report, don't die
             result["learner_bench"] = f"skipped ({type(e).__name__})"
     print(json.dumps(result))
+
+
+def main():
+    """Parent supervisor: run the bench in a fresh child process with
+    retry + backoff, and guarantee ONE parseable JSON line on stdout
+    with exit code 0 no matter what (round-2 verdict item 1).
+
+    The parent never imports jax: a failed TPU backend init poisons
+    the process that attempted it, so every retry gets a clean slate.
+    """
+    if os.environ.get("_GADDPG_BENCH_CHILD") == "1":
+        run_bench()
+        return
+
+    budget = float(os.environ.get("BENCH_TIMEOUT", 3000))
+    backoffs = [15.0 * (3 ** i) for i in range(max(ATTEMPTS - 1, 0))]
+    last_err = "unknown"
+    env = dict(os.environ, _GADDPG_BENCH_CHILD="1")
+    for attempt in range(ATTEMPTS):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"bench child timed out after {budget:.0f}s"
+            out = None
+        if out is not None:
+            for line in reversed(out.stdout.strip().splitlines() or []):
+                try:
+                    parsed = json.loads(line)
+                    if isinstance(parsed, dict) and "metric" in parsed:
+                        print(line)
+                        return
+                except json.JSONDecodeError:
+                    continue
+            tail = (out.stderr or out.stdout or "").strip().splitlines()[-8:]
+            last_err = f"rc={out.returncode}: " + " | ".join(tail)[-800:]
+        sys.stderr.write(
+            f"[bench] attempt {attempt + 1}/{ATTEMPTS} failed: {last_err}\n"
+        )
+        if attempt + 1 < ATTEMPTS:
+            time.sleep(backoffs[attempt])
+    # persistent failure: one parseable JSON line, exit 0 -- the driver
+    # must never record a bare traceback (round-2 verdict item 1)
+    print(json.dumps({
+        "metric": f"env steps/sec/chip at {NUM_ENVS} parallel envs",
+        "value": 0.0,
+        "unit": "env steps/sec",
+        "vs_baseline": 0.0,
+        "error": last_err,
+    }))
 
 
 if __name__ == "__main__":

@@ -73,10 +73,15 @@ def main():
         save_scenes(scenes, scene_path)
     n_scenes = len(np.asarray(scenes["obj_idx"]))
 
+    # load BEFORE the expensive expert arm: a wrong CKPT path must fail
+    # fast, not after three expert runs (round-2 advisor item 2)
+    loaded = load_agent(tr.agent_state, CKPT)
+    assert loaded is not None, f"no checkpoint under {CKPT}"
+
     results = {}
     results["expert"] = eval_policy(
         tr, scenes, n_scenes, RUNS, expert=True, label="expert")
-    tr.agent_state = load_agent(tr.agent_state, CKPT)
+    tr.agent_state = loaded
     results["bc"] = eval_policy(tr, scenes, n_scenes, RUNS, label="bc")
 
     lines = [

@@ -69,11 +69,18 @@ def main():
         lib = verify_library_grasps(lib)
     tr = Trainer(cfg, lib=lib)
 
+    # load BEFORE the expert arm: a wrong CKPT path must fail fast, not
+    # after the expensive expert runs (round-2 advisor item 2)
+    loaded = None
+    if CKPT:
+        loaded = load_agent(tr.agent_state, CKPT)
+        assert loaded is not None, f"no checkpoint under {CKPT}"
+
     results = {}
     if EXPERT:
         results["expert"] = run_eval(tr, True, "expert")
     if CKPT:
-        tr.agent_state = load_agent(tr.agent_state, CKPT)
+        tr.agent_state = loaded
         results["policy"] = run_eval(tr, False, f"policy:{CKPT}")
     for k, (rate, total, coll) in results.items():
         print(f"RESULT {k}: {rate:.3f} over {total} episodes "

@@ -68,10 +68,37 @@ def agent_cfg(mix):
                        policy_aux=True, critic_aux=True)
 
 
-def q_calibration(state, cfg, buf, key, n=512):
-    """corr + gap between min-Q(s, a_expert) and stored returns."""
+def holdout_split(buf, n_holdout=512):
+    """Split the loaded buffer into (train_buf, probe_batch): the LAST
+    ~n_holdout transitions -- aligned down to an episode boundary so no
+    episode straddles the cut -- are excluded from the training sampler
+    and form the calibration probe (round-2 advisor item 1: the probe
+    must be held out, not sampled from the training buffer)."""
+    filled = int(buf.filled)
+    cut = max(filled - n_holdout, 1)
+    ep_end = np.asarray(buf.episode_map[:filled], np.int64)
+    # an index e is an episode START iff e == 0 or ep_end[e-1] < e;
+    # walk cut down to the nearest episode start
+    while cut > 1 and ep_end[cut - 1] >= cut:
+        cut -= 1
+    train_buf = buf.replace(
+        filled=jnp.asarray(cut, jnp.int32), cur_idx=jnp.asarray(cut, jnp.int32)
+    )
+    idx = jnp.arange(cut, filled)
+    ends = buf.episode_map[idx].astype(jnp.int32)
+    probe = {
+        "point_state": buf.point_state[idx],
+        "action": buf.action[idx],
+        "return": buf.returns[idx],
+        "time": buf.timestep[ends] + 1.0 - buf.timestep[idx],
+    }
+    return train_buf, probe
+
+
+def q_calibration(state, cfg, batch):
+    """corr + gap between min-Q(s, a_expert) and stored returns on the
+    held-out probe batch from holdout_split."""
     feat, policy, critic, _ = make_modules(cfg)
-    batch = replay.sample(buf, key, n, episode_max_len=8)
     vfeat, _ = extract_feature(
         feat, state.feat_params, state.feat_stats,
         batch["point_state"], batch["time"],
@@ -102,7 +129,9 @@ def run_arm(arm):
     num_pts = cfg.env.uniform_num_pts + 6
     buf = load_npz(os.path.join(DATA, "bc_demos.npz"),
                    buffer_size=25000, num_points=num_pts)
-    print(f"[{arm}] buffer: {int(buf.filled)} transitions", flush=True)
+    buf, probe = holdout_split(buf)
+    print(f"[{arm}] buffer: {int(buf.filled)} train transitions, "
+          f"{probe['return'].shape[0]} held-out probe", flush=True)
 
     key = jax.random.PRNGKey(7)
     phases = {
@@ -130,7 +159,7 @@ def run_arm(arm):
                       f"({(time.time()-t_start)/len(losses):.2f}s/upd)",
                       flush=True)
 
-    calib = q_calibration(state, agent_cfg(0.0), buf, jax.random.PRNGKey(99))
+    calib = q_calibration(state, agent_cfg(0.0), probe)
     print(f"[{arm}] calibration: {calib}", flush=True)
 
     # fixed-scene evaluation (the flagship protocol's scene set)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from gaddpg_tpu.agents.config import AgentConfig
-from gaddpg_tpu.agents.losses import goal_pred_loss, pose_bc_loss
+from gaddpg_tpu.agents.losses import collision_bce, goal_pred_loss, pose_bc_loss
 from gaddpg_tpu.agents.state import AgentState, make_modules, make_optimizers
 from gaddpg_tpu.agents.ddpg import extract_feature, _masks
 
@@ -32,15 +32,28 @@ def make_bc_update(cfg: AgentConfig):
             )
             mean, _, aux_pred = policy.apply({"params": policy_params}, policy_feat)
             pi = jnp.tanh(mean) * jnp.asarray(policy.action_high)
-            bc = pose_bc_loss(pi, batch["expert_action"], m["expert"])
+            # collision-discounted imitation: expert transitions whose
+            # episode suffix carries a collision flag teach the very
+            # contacts the policy must avoid -- down-weight them
+            w_expert = m["expert"].astype(jnp.float32)
+            if cfg.collision_demo_discount > 0:
+                w_expert = w_expert * (
+                    1.0 - cfg.collision_demo_discount * batch["collide_future"]
+                )
+            bc = pose_bc_loss(pi, batch["expert_action"], w_expert)
             aux_l = 0.0
             if cfg.policy_aux:
                 aux_l = goal_pred_loss(
                     aux_pred[:, :7], batch["goal"][:, :7], m["goal_reward"]
                 )
-            return bc + aux_l, (stats, bc, aux_l)
+            col_l = 0.0
+            if cfg.collision_aux_weight > 0:
+                col_l = cfg.collision_aux_weight * collision_bce(
+                    aux_pred[:, -1], batch["collide_future"]
+                )
+            return bc + aux_l + col_l, (stats, bc, aux_l, col_l)
 
-        (p_grads, f_grads), (stats, bc_v, aux_v) = jax.grad(
+        (p_grads, f_grads), (stats, bc_v, aux_v, col_v) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.policy_params, state.feat_params)
 
@@ -70,6 +83,7 @@ def make_bc_update(cfg: AgentConfig):
         metrics = {
             "bc_loss": bc_v,
             "policy_grasp_aux_loss": aux_v,
+            "collision_aux_loss": col_v,
             "expert_mask_num": m["expert"].sum(),
         }
         return new_state, metrics

@@ -36,6 +36,19 @@ class AgentConfig:
     # f32 separately by utils/precision.py). "float32" = off.
     compute_dtype: str = "float32"
 
+    # collision-aware imitation (closes the clutter/mesh-scale
+    # collision gap; the reference logs collision alongside success,
+    # reference: env/panda_scene.py:1078-1095,
+    # core/train_test_offline.py:258-302, but never trains on it):
+    # collision_demo_discount d down-weights expert BC transitions whose
+    # episode suffix carries a collision flag by (1 - d); 0 = off.
+    collision_demo_discount: float = 0.0
+    # collision_aux_weight w adds a collision-prediction logit to the
+    # policy aux head, trained with sigmoid BCE against collide_future
+    # (representation shaping: the trunk must separate collision-bound
+    # states); 0 = off.
+    collision_aux_weight: float = 0.0
+
     # optimization
     lr: float = 3e-4
     value_lr: float = 3e-4

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from gaddpg_tpu.agents.config import AgentConfig
-from gaddpg_tpu.agents.losses import goal_pred_loss, pose_bc_loss, smooth_l1
+from gaddpg_tpu.agents.losses import (
+    collision_bce, goal_pred_loss, pose_bc_loss, smooth_l1,
+)
 from gaddpg_tpu.agents.state import AgentState, make_modules, make_optimizers
 
 
@@ -220,13 +222,25 @@ def make_ddpg_update(cfg: AgentConfig):
             mean, _, aux_pred = policy.apply({"params": policy_params}, policy_feat)
             pi = jnp.tanh(mean) * jnp.asarray(policy.action_high)
 
-            bc = pose_bc_loss(pi, batch["expert_action"], m["expert"]) * (
+            # collision-discounted imitation (see agents/bc.py): expert
+            # transitions committed to a later robot-obstacle contact
+            # are down-weighted
+            w_expert = m["expert"].astype(jnp.float32)
+            if cfg.collision_demo_discount > 0:
+                w_expert = w_expert * (
+                    1.0 - cfg.collision_demo_discount * batch["collide_future"]
+                )
+            bc = pose_bc_loss(pi, batch["expert_action"], w_expert) * (
                 1.0 - mix_policy_ratio
             )
             aux_l = 0.0
             if cfg.policy_aux:
                 aux_l = goal_pred_loss(
                     aux_pred[:, :7], batch["goal"][:, :7], m["goal_reward"]
+                )
+            if cfg.collision_aux_weight > 0:
+                aux_l = aux_l + cfg.collision_aux_weight * collision_bce(
+                    aux_pred[:, -1], batch["collide_future"]
                 )
             # delayed deterministic actor-critic term
             vfeat_pi, _ = extract_feature(

@@ -50,6 +50,15 @@ def pose_bc_loss(pi, expert_action, mask=None):
     return _masked_mean(l1, mask)
 
 
+def collision_bce(logit, target, mask=None):
+    """Sigmoid binary cross-entropy for the collision-prediction logit
+    against the collide_future flag (numerically stable log1p form)."""
+    loss = jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(
+        jnp.exp(-jnp.abs(logit))
+    )
+    return _masked_mean(loss, mask)
+
+
 def smooth_l1(pred, target, mask=None, beta: float = 1.0):
     """Huber/smooth-L1 (torch F.smooth_l1_loss semantics, beta=1)."""
     diff = jnp.abs(pred - target)

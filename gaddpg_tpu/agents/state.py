@@ -54,10 +54,14 @@ def make_modules(cfg: AgentConfig):
 
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     feat = ImageFeature() if cfg.use_image else PointNetFeature(dtype=dt)
+    # the optional collision-prediction logit rides as the LAST dim of
+    # the policy aux head (consumers index aux[..., :7] for the goal and
+    # aux[..., -1] for the collision logit)
     policy = GaussianPolicy(
         action_dim=cfg.action_dim,
         hidden=cfg.hidden_size,
-        extra_pred_dim=7 if cfg.policy_aux else 1,
+        extra_pred_dim=(7 if cfg.policy_aux else 1)
+        + (1 if cfg.collision_aux_weight > 0 else 0),
     )
     critic = QNetwork(hidden=cfg.hidden_size, extra_pred_dim=7 if cfg.critic_aux else 0)
     goal = GoalFeature()

@@ -44,7 +44,9 @@ class GaussianPolicy(nn.Module):
         h = nn.relu(nn.Dense(self.hidden, kernel_init=_xavier)(h))
         mean = nn.Dense(self.action_dim, kernel_init=_xavier)(h)
         extra = nn.Dense(self.extra_pred_dim, kernel_init=_xavier)(h)
-        if self.extra_pred_dim == 7:
+        if self.extra_pred_dim >= 7:
+            # first 7 dims = [quat, trans] grasp prediction; any extra
+            # dims (e.g. the collision logit) pass through unnormalized
             extra = _normalize_quat_head(extra)
         log_std = nn.Dense(self.action_dim, kernel_init=_xavier)(h)
         log_std = jnp.clip(log_std, LOG_SIG_MIN, LOG_SIG_MAX)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import jax
 
+from gaddpg_tpu.ops import pallas_sa
 from gaddpg_tpu.ops.sampling import (
     furthest_point_sampling,
     ball_query,
@@ -41,7 +42,28 @@ class SetAbstraction(nn.Module):
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
         """xyz (B, N, 3); feats (B, N, C) -> (B, S, 3), (B, S, mlp[-1])."""
+        # eval-mode TPU path: the whole gather -> 3-layer MLP (BN folded
+        # into the Dense weights) -> max-pool runs as ONE Pallas kernel
+        # with the point table resident in VMEM (ops/pallas_sa.py);
+        # training keeps the XLA layers below (autodiff + batch stats)
+        use_fused = (
+            not train
+            and not self.is_initializing()
+            and len(self.mlp) == 3
+            and pallas_sa.sa_fused_enabled()
+        )
         if self.group_all:
+            if use_fused:
+                weights = pallas_sa.folded_sa_weights(
+                    self.variables["params"], self.variables["batch_stats"]
+                )
+                full = jnp.concatenate([xyz, feats], axis=-1)  # (B, N, 3+C)
+                interp = pallas_sa.sa_interpret()
+                pooled = jax.vmap(
+                    lambda f: pallas_sa.mlp_maxpool(f, weights, interpret=interp)
+                )(full)
+                new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+                return new_xyz, pooled
             grouped = jnp.concatenate([xyz, feats], axis=-1)[:, None]  # (B,1,N,3+C)
             new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
         else:
@@ -49,6 +71,24 @@ class SetAbstraction(nn.Module):
             group_idx = jax.vmap(
                 lambda c, p: ball_query(p[c], p, self.radius, self.nsample)
             )(centers, xyz)
+            if use_fused:
+                weights = pallas_sa.folded_sa_weights(
+                    self.variables["params"], self.variables["batch_stats"]
+                )
+                new_xyz = jax.vmap(lambda p, c: jnp.take(p, c, axis=0))(
+                    xyz, centers
+                )
+                full = jnp.concatenate([xyz, feats], axis=-1)
+                cpad = jnp.zeros(
+                    (xyz.shape[0], self.npoint, full.shape[-1]), jnp.float32
+                ).at[:, :, :3].set(new_xyz)
+                interp = pallas_sa.sa_interpret()
+                pooled = jax.vmap(
+                    lambda i, f, c: pallas_sa.sa_gather_mlp(
+                        i, f, c, weights, interpret=interp
+                    )
+                )(group_idx, full, cpad)
+                return new_xyz, pooled
             new_xyz, grouped = jax.vmap(group_points)(xyz, feats, centers, group_idx)
 
         h = grouped

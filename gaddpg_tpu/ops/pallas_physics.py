@@ -146,8 +146,10 @@ def _make_kernel(p, n):
             cpt_groups = [[], [], []]
             vsf_groups = [[], [], []]
 
-            # table group
-            pen_tab = radii - (centers[2] - p.table_z)
+            # table group (radius-0 padding spheres never contact --
+            # mirrors the XLA scan's mask in physics/fast.py)
+            real = (radii > 0).astype(jnp.float32)
+            pen_tab = real * (radii - (centers[2] - p.table_z)) - (1.0 - real)
             pen_groups.append(pen_tab)
             n_tab = [jnp.zeros((E, NS)), jnp.zeros((E, NS)),
                      jnp.ones((E, NS))]
@@ -183,7 +185,7 @@ def _make_kernel(p, n):
                 n_loc = [jnp.where(use_out, n_out[k], n_in[k])
                          for k in range(3)]
                 n_w = _qrot(hqw, hqv, n_loc)
-                pen_b = radii - sdf
+                pen_b = real * (radii - sdf) - (1.0 - real)
                 pen_groups.append(pen_b)
                 pen_box.append(pen_b)
                 cpts = [centers[k] - n_w[k] * radii for k in range(3)]

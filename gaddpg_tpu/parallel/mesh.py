@@ -27,6 +27,24 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def validate_dp_divisibility(mesh: Optional[Mesh], **named_sizes) -> None:
+    """Raise early when a leading-axis size does not divide over the
+    mesh: GSPMD would otherwise pad or fail deep inside a compile with
+    an opaque error. Call with the batch-like sizes that shard on the
+    dp axis, e.g. validate_dp_divisibility(mesh, num_envs=64, batch_size=256).
+    """
+    if mesh is None:
+        return
+    n = mesh.devices.size
+    bad = {k: v for k, v in named_sizes.items() if v % n != 0}
+    if bad:
+        raise ValueError(
+            f"sizes not divisible by the {n}-device mesh: "
+            + ", ".join(f"{k}={v} ({v} % {n} = {v % n})" for k, v in bad.items())
+            + " -- pick multiples of the device count so every shard is equal"
+        )
+
+
 def shard_leading_axis(mesh: Mesh, tree, axis_name: str = "dp"):
     """Place a pytree with its leading axis split over the mesh."""
     def put(x):

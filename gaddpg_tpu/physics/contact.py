@@ -55,7 +55,10 @@ def clamp_passive_delta(dv, v, dv_max, eps=1e-9):
 
 
 def sphere_plane_contacts(centers, radii, plane_z, max_force=jnp.inf):
-    pen = radii - (centers[:, 2] - plane_z)
+    # radius-0 padding spheres (library sets with ns < NS) must never
+    # contact: the half-space test would otherwise fire if the body's
+    # rotation swings the far-parked padding below the table
+    pen = jnp.where(radii > 0, radii - (centers[:, 2] - plane_z), -1.0)
     n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centers.shape)
     pts = centers - n * radii[:, None]
     return Contacts(
@@ -94,7 +97,7 @@ def sphere_box_contacts(centers_w, radii, box_pose, half_extents, box_vel,
     rot = box_pose[:3, :3]
     p_local = (centers_w - box_pose[:3, 3]) @ rot
     sdf, n_local = box_sdf_normal(p_local, half_extents)
-    pen = radii - sdf
+    pen = jnp.where(radii > 0, radii - sdf, -1.0)  # mask padding spheres
     n_world = n_local @ rot.T
     pts = centers_w - n_world * radii[:, None]
     box_lin, box_ang = box_vel

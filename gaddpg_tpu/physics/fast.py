@@ -264,7 +264,12 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         n_in = (in_axis[..., None] == jnp.arange(3)) * jnp.sign(p_loc)
         n_loc = jnp.where((d_out > 0)[..., None], n_out, n_in)
         n_box = quat_rotate(h_quat[:, None, None, :], n_loc)     # world
-        pen_box = radii[:, None, :] - sdf                        # (B,3,NS)
+        # radius-0 padding spheres never contact (mask keeps ns < NS
+        # library sets safe even if the body flips the parked padding
+        # into a half-space test)
+        real = radii > 0                                         # (B,NS)
+        pen_box = jnp.where(real[:, None, :],
+                            radii[:, None, :] - sdf, -1.0)       # (B,3,NS)
 
         # box surface velocity at contacts
         cpts_box = centers[:, None, :, :] - n_box * radii[:, None, :, None]
@@ -273,7 +278,9 @@ def fast_physics_step(p: PhysicsParams, state: PhysicsState, sphere_sets,
         )
 
         # ---- table plane ----
-        pen_tab = radii - (centers[..., 2] - p.table_z)          # (B,NS)
+        pen_tab = jnp.where(
+            real, radii - (centers[..., 2] - p.table_z), -1.0
+        )                                                        # (B,NS)
         n_tab = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centers.shape)
         cpts_tab = centers - n_tab * radii[..., None]
 

@@ -276,7 +276,9 @@ def multi_physics_step(p: PhysicsParams, state: PhysicsState, spheres,
         n_in = (in_axis[..., None] == jnp.arange(3)) * jnp.sign(p_loc)
         n_loc = jnp.where((d_out > 0)[..., None], n_out, n_in)
         n_box = quat_rotate(h_quat[:, None, None, :], n_loc)
-        pen_box = radii[:, None, :] - sdf
+        # radius-0 padding spheres never contact (mirrors fast.py)
+        real = radii > 0
+        pen_box = jnp.where(real[:, None, :], radii[:, None, :] - sdf, -1.0)
 
         cpts_box = centers[:, None, :, :] - n_box * radii[:, None, :, None]
         v_box = h_lin[:, None, None, :] + jnp.cross(
@@ -284,7 +286,7 @@ def multi_physics_step(p: PhysicsParams, state: PhysicsState, spheres,
         )
 
         # ---- table plane ----
-        pen_tab = radii - (centers[..., 2] - p.table_z)
+        pen_tab = jnp.where(real, radii - (centers[..., 2] - p.table_z), -1.0)
         n_tab = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centers.shape)
         cpts_tab = centers - n_tab * radii[..., None]
 

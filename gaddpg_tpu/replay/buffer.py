@@ -42,6 +42,7 @@ class ReplayBuffer:
     expert_flags: jnp.ndarray     # (S,)
     perturb_flags: jnp.ndarray    # (S,)
     collide: jnp.ndarray          # (S,)
+    collide_future: jnp.ndarray   # (S,) any collision at/after this step
     grasp: jnp.ndarray            # (S,)
     target_idx: jnp.ndarray       # (S,)
     episode_map: jnp.ndarray      # (S,) uint32 index of episode end
@@ -86,6 +87,7 @@ def create_buffer(size: int, num_points: int = 1030, dtype=jnp.float32,
         expert_flags=f(size),
         perturb_flags=f(size),
         collide=f(size),
+        collide_future=f(size),
         grasp=f(size),
         target_idx=f(size),
         episode_map=jnp.zeros((size,), jnp.uint32),
@@ -142,6 +144,17 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
     _, rets_rev = jax.lax.scan(scan_back, 0.0, jnp.arange(T - 1, -1, -1))
     returns = rets_rev[::-1]
 
+    # future-collision backfill: collide_future[i] = any collide in
+    # [i, episode end]. The collision-aware losses consume this -- the
+    # action at step i is what committed the episode to the later
+    # contact (the reference logs per-episode collision the same way,
+    # reference: env/panda_scene.py:1078-1095)
+    if "collide" in ep:
+        col = jnp.where(is_live, ep["collide"], 0.0)
+        collide_future = jax.lax.associative_scan(jnp.maximum, col, reverse=True)
+    else:
+        collide_future = jnp.zeros(T)
+
     # ring indices; restart at 0 instead of splitting across the wrap
     start = jnp.where(buf.cur_idx + n_valid > size, 0, buf.cur_idx)
     idx = jnp.where(is_live, start + pos, size)  # OOB -> dropped by scatter
@@ -149,6 +162,8 @@ def add_episode(buf: ReplayBuffer, episode: Dict[str, jnp.ndarray], valid: jnp.n
 
     updates = {k: ep[k] for k in fields}
     updates["returns"] = returns
+    if "collide" in ep:
+        updates["collide_future"] = collide_future
 
     new_fields = {}
     for k, v in updates.items():
@@ -228,5 +243,7 @@ def sample(buf: ReplayBuffer, key, batch_size: int, episode_max_len: int = 20,
         "next_goal": next_goal,
         "expert_flags": buf.expert_flags[idx],
         "perturb_flags": buf.perturb_flags[idx],
+        "collide": buf.collide[idx],
+        "collide_future": buf.collide_future[idx],
         "batch_idx": idx,
     }

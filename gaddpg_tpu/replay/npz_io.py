@@ -16,8 +16,8 @@ from gaddpg_tpu.replay.buffer import ReplayBuffer, create_buffer
 
 _SAVE_KEYS = (
     "action", "point_state", "reward", "terminal", "timestep", "returns",
-    "state_pose", "collide", "grasp", "perturb_flags", "goal",
-    "expert_flags", "expert_action", "target_idx", "episode_map",
+    "state_pose", "collide", "collide_future", "grasp", "perturb_flags",
+    "goal", "expert_flags", "expert_action", "target_idx", "episode_map",
 )
 
 
@@ -65,6 +65,20 @@ def load_npz(path: str, buffer_size: Optional[int] = None,
         else:
             tgt[:m] = src[:m]
         upd[k] = jnp.asarray(tgt, dtype=getattr(buf, k).dtype)
+
+    if "collide_future" not in data and "collide" in data and "episode_map" in data:
+        # datasets saved before the collision-aware losses: backfill
+        # collide_future[i] = any collide in [i, episode_map[i]]
+        col = np.asarray(data["collide"], np.float32)
+        ep_end = np.asarray(data["episode_map"], np.int64)
+        fut = col.copy()
+        for i in range(len(col) - 2, -1, -1):
+            if ep_end[i] > i:
+                fut[i] = max(col[i], fut[i + 1])
+        tgt = np.zeros(size, np.float32)
+        m = min(size, len(fut))
+        tgt[:m] = fut[:m]
+        upd["collide_future"] = jnp.asarray(tgt)
 
     cur = int(data["cur_idx"]) if "cur_idx" in data else n
     if "filled" in data:

@@ -54,6 +54,13 @@ class TrainConfig:
     dagger_min_step: int = 5
     dagger_max_step: int = 18
     dagger_ratio: float = 0.5
+    # collision-aware demo curation (BC/DAgger collection only):
+    # dagger_success_filter keeps ONLY successful episodes (expert and
+    # explore alike) -- failed on-policy DAgger trajectories dilute the
+    # demo set at low demo budgets; demo_collision_filter additionally
+    # drops episodes that carry a robot-obstacle collision flag
+    dagger_success_filter: bool = False
+    demo_collision_filter: bool = False
     dart: bool = True
     dart_min_step: int = 5
     dart_max_step: int = 13
@@ -122,6 +129,8 @@ _RL_TRAIN_MAP = {
     "noise_type": ("agent", "noise_type"),
     "policy_aux": ("agent", "policy_aux"),
     "critic_aux": ("agent", "critic_aux"),
+    "collision_demo_discount": ("agent", "collision_demo_discount"),
+    "collision_aux_weight": ("agent", "collision_aux_weight"),
     "sa_channel_concat": ("agent", "sa_channel_concat"),
     "use_time": ("agent", "use_time"),
     "use_image": ("agent", "use_image"),

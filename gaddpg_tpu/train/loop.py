@@ -38,10 +38,20 @@ class Trainer:
         core/train_online.py:415-432)."""
         from gaddpg_tpu.parallel.mesh import (
             make_sharded_update, replicate, shard_leading_axis,
+            validate_dp_divisibility,
         )
 
         self.cfg = cfg
         self.mesh = mesh
+        # fail fast on shapes that cannot shard evenly (round-2 verdict
+        # item 6: the dryrun always picked divisible shapes, so a bad
+        # num_envs died deep inside GSPMD instead of here)
+        validate_dp_divisibility(
+            mesh,
+            num_envs=cfg.num_envs,
+            batch_size=cfg.batch_size,
+            buffer_size=cfg.buffer_size,
+        )
         self.lib = lib if lib is not None else library_from_index(
             cfg.index_file, cfg.index_split
         )
@@ -107,6 +117,14 @@ class Trainer:
         # (reference: core/replay_memory.py:214-215)
         if not cfg.rl:
             keep = (rewards > 0.5) | stats["explore_env"]
+            if cfg.dagger_success_filter:
+                # success-filtered DAgger: explore waves only aggregate
+                # when the relabeled episode actually succeeds -- failed
+                # on-policy trajectories dilute the demo set at
+                # mesh-scale demo budgets (round-2 proc_policy.md)
+                keep = rewards > 0.5
+            if cfg.demo_collision_filter:
+                keep = keep & ~stats["collided"]
             valid = valid & keep[:, None]
         target = self.buffer
         if self.online_buffer is not None:
@@ -129,6 +147,9 @@ class Trainer:
             / max(float(jnp.sum(stats["valid_scene"])), 1.0),
             "explore_frac": float(explore),
             "valid_scene_frac": float(jnp.mean(stats["valid_scene"])),
+            "collide_frac": float(
+                jnp.sum(stats["collided"] & (stats["valid_scene"] > 0))
+            ) / max(float(jnp.sum(stats["valid_scene"])), 1.0),
             "buffer_idx": int(self.buffer.cur_idx),
             "env_steps": int(self.buffer.total_env_step),
         }

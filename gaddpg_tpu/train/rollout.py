@@ -215,6 +215,10 @@ class RolloutWorker:
             "explore_env": explore_env,
             "valid_scene": valid_scene,
             "episode_len": n_valid,
+            # robot-obstacle/object contact during the episode (feeds
+            # the collision-aware demo filters and the collide_frac log,
+            # reference: env/panda_scene.py:1078-1095)
+            "collided": states.collided_before,
         }
         return episodes, valid, rewards, stats
 

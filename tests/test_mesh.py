@@ -52,6 +52,30 @@ class TestMakeMesh:
         with pytest.raises(ValueError, match="8 JAX device"):
             make_mesh(len(jax.devices()) + 1)
 
+    def test_divisibility_guard(self):
+        from gaddpg_tpu.parallel.mesh import validate_dp_divisibility
+
+        mesh = make_mesh(8)
+        validate_dp_divisibility(mesh, num_envs=16, batch_size=64)  # ok
+        validate_dp_divisibility(None, num_envs=13)  # no mesh -> no-op
+        with pytest.raises(ValueError, match="num_envs=12"):
+            validate_dp_divisibility(mesh, num_envs=12, batch_size=64)
+
+    def test_trainer_rejects_indivisible_num_envs(self):
+        """Trainer fails fast (not deep inside GSPMD) on shapes that
+        cannot shard evenly over the mesh."""
+        from gaddpg_tpu.envs.assets import box_asset
+        from gaddpg_tpu.train.config import load_config
+        from gaddpg_tpu.train.loop import Trainer
+
+        mesh = make_mesh(8)
+        cfg = load_config(overrides={
+            "num_envs": 12, "batch_size": 8, "buffer_size": 64,
+            "output_dir": "output/test_guard",
+        }, policy="BC")
+        with pytest.raises(ValueError, match="num_envs=12"):
+            Trainer(cfg, lib=box_asset(0.06, 0.06, 0.14), mesh=mesh)
+
 
 class TestShardedUpdateEquivalence:
     def test_sharded_matches_single_device(self):
