@@ -41,6 +41,14 @@ MAX_HOURS = float(os.environ.get("MAX_HOURS", 1.2))
 ITERS = int(os.environ.get("ITERS", 400))
 ENVS = int(os.environ.get("ENVS", 24))
 SCRATCH = os.environ.get("SCRATCH", "0") == "1"
+# learning-curve mode (round-2 VERDICT item 7): every EVAL_EVERY
+# iterations run EVAL_WAVES greedy-policy eval waves and append
+# (iter, update_step, success, episodes) to OUT/curve.json -- the
+# plateau evidence for the from-scratch online protocol (vs the
+# reference's 150k-step envelope, reference: experiments/config.py:130).
+# Resumable: picks up agent + curve from OUT if present.
+EVAL_EVERY = int(os.environ.get("EVAL_EVERY", 0))
+EVAL_WAVES = int(os.environ.get("EVAL_WAVES", 2))
 
 
 def main():
@@ -80,10 +88,37 @@ def main():
               f"{int(replay.upper_idx(tr.buffer))} expert transitions",
               flush=True)
 
+    def eval_success():
+        """Greedy-policy success over EVAL_WAVES random-scene waves."""
+        total, ok = 0, 0
+        for _ in range(EVAL_WAVES):
+            out = tr.worker.evaluate(tr.agent_state, tr._next_key(),
+                                     expert=False)
+            v = np.asarray(out["valid_scene"]) > 0
+            total += int(v.sum())
+            ok += int((np.asarray(out["success"])[v] > 0.5).sum())
+        return ok / max(total, 1), total
+
+    curve_path = os.path.join(OUT, "curve.json")
+    curve = []
+    if EVAL_EVERY and os.path.exists(curve_path):
+        with open(curve_path) as f:
+            curve = json.load(f)
+
     t0 = time.time()
     for it in range(1, ITERS + 1):
         stats = tr.collect()
         metrics = tr.train_iter()
+        if EVAL_EVERY and (it % EVAL_EVERY == 0 or it == 1):
+            rate, n = eval_success()
+            curve.append({"iter": it, "updates": int(tr.update_step),
+                          "success": rate, "episodes": n,
+                          "wall_m": (time.time() - t0) / 60})
+            with open(curve_path, "w") as f:
+                json.dump(curve, f)
+            save_agent(tr.agent_state, OUT)
+            print(f"[curve] iter {it} updates {tr.update_step}: "
+                  f"success={rate:.3f} ({n} eps)", flush=True)
         if it % 20 == 0 or it == 1:
             print(f"[iter {it}] rollout_success="
                   f"{stats.get('rollout_success', float('nan')):.2f} "

@@ -39,6 +39,12 @@ def main():
     n_scenes = len(np.asarray(scenes["obj_idx"]))
     cfg = load_config(overrides={
         "num_envs": ENVS, "index_file": "ycb", "output_dir": CKPT,
+        # must match the checkpoint's arch-affecting knobs (a nonzero
+        # collision_aux_weight widens the policy aux head; image mode
+        # swaps the trunk): see agents/state.py
+        "collision_aux_weight": float(os.environ.get("COL_AUX", 0.0)),
+        "use_image": os.environ.get("USE_IMAGE", "0") == "1",
+        "IMG_SIZE": int(os.environ.get("IMG", 64)),
     }, policy="DDPG")
     lib = verify_library_grasps(library_from_index("ycb", "train"))
     tr = Trainer(cfg, lib=lib)

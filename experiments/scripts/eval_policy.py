@@ -37,6 +37,10 @@ ENVS = int(os.environ.get("ENVS", 24))
 SEED = int(os.environ.get("SEED", 3))  # vary for independent repeats
 OUT = os.environ.get("OUT", "")
 EXPERT = os.environ.get("EXPERT", "1") == "1"
+# must match the checkpoint's training config: a nonzero
+# collision_aux_weight adds a collision logit to the policy aux head
+# (agents/state.py), changing the param shapes load_agent restores
+COL_AUX = float(os.environ.get("COL_AUX", 0.0))
 
 
 def run_eval(tr, expert, label):
@@ -62,6 +66,7 @@ def main():
         "num_envs": ENVS, "index_file": INDEX, "index_split": SPLIT,
         "num_clutter": CLUTTER, "output_dir": OUT or "output/eval_tmp",
         "RNG_SEED": SEED,
+        "collision_aux_weight": COL_AUX,
     }, policy="BC")
     lib = library_from_index(INDEX, SPLIT)
     if os.environ.get("VERIFY_GRASPS", "1") == "1":

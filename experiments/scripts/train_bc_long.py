@@ -61,6 +61,24 @@ DART = os.environ.get("DART", "0") == "1"
 # compression of the whole buffer: minutes per save on the tunnel
 # device/1-core host -- raise this when resumability doesn't matter)
 SAVE_EVERY = int(os.environ.get("SAVE_EVERY", 5))
+# collision-aware imitation knobs (round-2 VERDICT item 2: the policy's
+# clutter gap is collision-dominated; the reference only LOGS collision,
+# reference: env/panda_scene.py:1078-1095 -- we train on it):
+#   COL_FILTER=1     drop demo episodes carrying a collision flag
+#   SUCCESS_FILTER=1 keep only successful episodes in DAgger waves
+#   COL_DISCOUNT=d   down-weight collision-suffix expert transitions
+#   COL_AUX=w        collision-prediction aux head weight (sigmoid BCE)
+COL_FILTER = os.environ.get("COL_FILTER", "0") == "1"
+SUCCESS_FILTER = os.environ.get("SUCCESS_FILTER", "0") == "1"
+COL_DISCOUNT = float(os.environ.get("COL_DISCOUNT", 0.0))
+COL_AUX = float(os.environ.get("COL_AUX", 0.0))
+# image-mode policy (RGBDM through ResNet-18, reference:
+# experiments/config.py:105 use_image, core/networks.py:106-147):
+#   USE_IMAGE=1, IMG=<res>, DOMAIN_RAND=1, PRETRAINED=<resnet .pth/.npz>
+USE_IMAGE = os.environ.get("USE_IMAGE", "0") == "1"
+IMG = int(os.environ.get("IMG", 64))
+DOMAIN_RAND = os.environ.get("DOMAIN_RAND", "0") == "1"
+PRETRAINED = os.environ.get("PRETRAINED", "")
 
 
 def log(msg):
@@ -91,6 +109,14 @@ def main():
         "index_split": SPLIT,
         "num_clutter": CLUTTER,
         "output_dir": OUT,
+        "demo_collision_filter": COL_FILTER,
+        "dagger_success_filter": SUCCESS_FILTER,
+        "collision_demo_discount": COL_DISCOUNT,
+        "collision_aux_weight": COL_AUX,
+        "use_image": USE_IMAGE,
+        "IMG_SIZE": IMG,
+        "domain_rand": DOMAIN_RAND,
+        "pretrained_resnet": PRETRAINED,
     }, policy="BC")
     lib = library_from_index(INDEX, SPLIT)
     if os.environ.get("VERIFY_GRASPS", "1") == "1":
@@ -151,8 +177,14 @@ def main():
             log("total time budget hit")
             break
     save_agent(tr.agent_state, OUT)
+    # snapshot the pure-BC agent separately: the DAgger phase keeps
+    # overwriting OUT, and the pure-vs-DAgger comparison needs both
+    pure_dir = os.path.join(OUT, "pure")
+    os.makedirs(pure_dir, exist_ok=True)
+    save_agent(tr.agent_state, pure_dir)
     log(f"pure-BC phase done: {len(losses)} updates, final bc_loss "
-        f"{np.mean(losses[-25:]) if losses else float('nan'):.4f}")
+        f"{np.mean(losses[-25:]) if losses else float('nan'):.4f} "
+        f"(snapshot -> {pure_dir})")
 
     # phase 4: DAgger rounds -- explore episodes with expert relabels
     # (reference: experiments/cfgs/bc_aux_dagger.yaml; explore ratio 0.5,
@@ -162,9 +194,16 @@ def main():
 
         from gaddpg_tpu.train.rollout import RolloutWorker
 
+        # DAgger waves optionally aggregate only clean successes:
+        # success-filtered (round-2 proc_policy.md showed failed
+        # on-policy trajectories dilute the demo set) and collision-
+        # filtered (approach clearance is the measured clutter gap)
         tr.cfg = dataclasses.replace(
             tr.cfg, dagger=True, explore_ratio=1.0, explore_cap=0.5,
             explore_ratio_list=(0.5,),
+            dagger_success_filter=SUCCESS_FILTER,
+            demo_collision_filter=COL_FILTER
+            or os.environ.get("DAGGER_COL_FILTER", "0") == "1",
         )
         # fresh worker: the dagger/explore flags are baked into the
         # jitted rollout at trace time

@@ -113,6 +113,49 @@ def load_torch_state(variables, state_dict, stage_sizes=(2, 2, 2, 2)):
     return {"params": params, "batch_stats": stats}
 
 
+def export_torch_state(variables, stage_sizes=(2, 2, 2, 2)):
+    """Inverse of `load_torch_state`: ONE ResNet18Feature's variables ->
+    a torchvision-layout state dict of numpy arrays (conv kernels back
+    in torch (O, I, kh, kw) order, BN under weight/bias/running_*).
+
+    Lets a sim-trained encoder round-trip through the same ingestion
+    path as torchvision weights (`AgentConfig.pretrained_resnet` +
+    np.savez) -- the zero-egress substitute for ImageNet pretraining
+    and a deployment interchange format (the reference's torch
+    checkpoints are its interchange, core/utils.py:319-334). conv1 is
+    exported at this model's full input-channel width; load_torch_state
+    only zero-extends when the on-disk conv is narrower.
+    """
+    import numpy as np
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd = {}
+
+    def conv_back(k):
+        return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+    def put_bn(flax_scope, torch_prefix, p, s):
+        sd[torch_prefix + ".weight"] = np.asarray(p[flax_scope]["scale"])
+        sd[torch_prefix + ".bias"] = np.asarray(p[flax_scope]["bias"])
+        sd[torch_prefix + ".running_mean"] = np.asarray(s[flax_scope]["mean"])
+        sd[torch_prefix + ".running_var"] = np.asarray(s[flax_scope]["var"])
+
+    sd["conv1.weight"] = conv_back(params["Conv_0"]["kernel"])
+    put_bn("BatchNorm_0", "bn1", params, stats)
+    for flax_block, torch_block, has_ds in _torch_block_entries(stage_sizes):
+        blk, bst = params[flax_block], stats[flax_block]
+        sd[torch_block + ".conv1.weight"] = conv_back(blk["Conv_0"]["kernel"])
+        sd[torch_block + ".conv2.weight"] = conv_back(blk["Conv_1"]["kernel"])
+        for i in (0, 1):
+            put_bn(f"BatchNorm_{i}", f"{torch_block}.bn{i + 1}", blk, bst)
+        if has_ds:
+            sd[torch_block + ".downsample.0.weight"] = conv_back(
+                blk["Conv_2"]["kernel"])
+            put_bn("BatchNorm_2", torch_block + ".downsample.1", blk, bst)
+    return sd
+
+
 def load_pretrained_encoders(feat_params, feat_stats, state_dict):
     """Load a torchvision resnet18 state dict into BOTH ImageFeature
     encoders (the reference pretrains policy and value encoders alike,

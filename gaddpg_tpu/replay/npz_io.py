@@ -46,7 +46,14 @@ def load_npz(path: str, buffer_size: Optional[int] = None,
     data = np.load(path, allow_pickle=True)
     n = int(np.amax(data["episode_map"])) + 1 if "episode_map" in data else len(data["reward"])
     size = buffer_size or max(n, 1)
-    buf = create_buffer(size, num_points=num_points)
+    # image-mode dumps carry a real (S, C, H, W) image_state; recreate
+    # the buffer with matching image storage (use_image training)
+    img_shape = None
+    if "image_state" in data:
+        ish = tuple(np.asarray(data["image_state"]).shape[1:])
+        if len(ish) == 3 and ish != (1, 1, 1):
+            img_shape = ish
+    buf = create_buffer(size, num_points=num_points, image_shape=img_shape)
 
     upd = {}
     for k in _SAVE_KEYS:

@@ -135,6 +135,7 @@ _RL_TRAIN_MAP = {
     "use_time": ("agent", "use_time"),
     "use_image": ("agent", "use_image"),
     "IMG_SIZE": ("agent", "image_size"),
+    "pretrained_resnet": ("agent", "pretrained_resnet"),
     "train_feature": ("agent", "train_feature"),
     "train_value_feature": ("agent", "train_value_feature"),
     "policy_milestones": ("agent", "policy_milestones"),

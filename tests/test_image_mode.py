@@ -247,3 +247,27 @@ class TestPretrainedLoad:
         for enc in ("encoder", "value_encoder"):
             got = np.asarray(state.feat_params[enc]["Conv_0"]["kernel"])
             np.testing.assert_allclose(got[:, :, :3, :], want, rtol=1e-6)
+
+    def test_export_round_trip(self):
+        """export_torch_state is load_torch_state's exact inverse: a
+        sim-trained encoder survives the .npz interchange bit-for-bit
+        (the zero-egress substitute for ImageNet weights)."""
+        from gaddpg_tpu.models.resnet import (
+            ResNet18Feature, export_torch_state, load_torch_state,
+        )
+
+        model = ResNet18Feature()
+        variables = model.init(jax.random.PRNGKey(7),
+                               jnp.zeros((1, 5, S, S)), train=False)
+        sd = export_torch_state(variables)
+        # 5-channel conv1 exports at full width (no truncation)
+        assert sd["conv1.weight"].shape == (64, 5, 7, 7)
+        back = load_torch_state(variables, sd)
+        for tree_a, tree_b in ((variables["params"], back["params"]),
+                               (variables["batch_stats"],
+                                back["batch_stats"])):
+            la = jax.tree_util.tree_leaves(tree_a)
+            lb = jax.tree_util.tree_leaves(tree_b)
+            assert len(la) == len(lb)
+            for a, b in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
