@@ -53,6 +53,7 @@ from gaddpg_tpu.render.camera import (
     visible_target_depth,
 )
 from gaddpg_tpu.render.pointcloud import (
+    OBSTACLE_LABEL,
     PointCloudState,
     accumulate_points,
     build_point_state,
@@ -107,6 +108,13 @@ class EnvParams:
     # core/train_online.py:180-188); >1 costs proportionally more reset
     # compute in SPMD but multiplies down the invalid-scene rate
     reset_tries: int = 2
+    # clutter surface points enter the accumulated cloud labeled
+    # OBSTACLE_LABEL (pointcloud.py) so the policy can SEE what it must
+    # avoid -- an extension past the reference's target-only cloud,
+    # whose clutter policies are collision-blind (collisions only
+    # logged, reference: env/panda_scene.py:1078-1095). 0 disables
+    # (reference-faithful target-only observations).
+    clutter_points_per_step: int = 256
     step_ik_iters: int = 8
     settle_substeps: int = 200
     termination_heuristics: bool = True
@@ -270,22 +278,37 @@ class PandaGraspEnv:
 
         cam = hand @ T_CAM
         cam_inv = self._camera_pose_inv(hand)
-        occ = self._occluder_depth(state, hand, cam)
+        occ_static = self._occluder_depth(state, hand, cam)
+        occ = occ_static
         if p.num_clutter:
-            cd = render_depth_points(
-                p.camera, cam_inv, self._clutter_surface_world(state)
-            )
-            occ = jnp.minimum(occ, jnp.where(cd > 0, cd, jnp.inf))
+            csurf_w = self._clutter_surface_world(state)
+            cd = render_depth_points(p.camera, cam_inv, csurf_w)
+            occ = jnp.minimum(occ_static, jnp.where(cd > 0, cd, jnp.inf))
         vis_depth = visible_target_depth(p.camera, cam_inv, surf_w, occ_depth=occ)
         pts_cam, pts_valid = depth_to_points(
             p.camera, vis_depth, max_points=p.new_points_per_step
         )
         pts_w = pts_cam @ cam[:3, :3].T + cam[:3, 3]
 
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         pc = accumulate_points(
             state.pc, k1, pts_w, pts_valid, state.env_step, p.pt_accumulate_ratio
         )
+        if p.num_clutter and p.clutter_points_per_step:
+            # visible CLUTTER surface enters the cloud labeled as
+            # obstacle: occluded by the static occluders and by the
+            # target itself (symmetric z-test to the target cull above)
+            td = render_depth_points(p.camera, cam_inv, surf_w)
+            occ_c = jnp.minimum(occ_static, jnp.where(td > 0, td, jnp.inf))
+            vis_c = visible_target_depth(
+                p.camera, cam_inv, csurf_w, occ_depth=occ_c)
+            cpts_cam, cvalid = depth_to_points(
+                p.camera, vis_c, max_points=p.clutter_points_per_step)
+            cpts_w = cpts_cam @ cam[:3, :3].T + cam[:3, 3]
+            pc = accumulate_points(
+                pc, k3, cpts_w, cvalid, state.env_step,
+                p.pt_accumulate_ratio, label=OBSTACLE_LABEL,
+            )
         point_state, n_pts = build_point_state(
             pc, k2, se3_inverse(hand), p.uniform_num_pts
         )

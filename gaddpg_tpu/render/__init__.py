@@ -24,6 +24,9 @@ from gaddpg_tpu.render.camera import (
     visible_target_depth,
 )
 from gaddpg_tpu.render.pointcloud import (
+    HAND_LABEL,
+    OBSTACLE_LABEL,
+    TARGET_LABEL,
     PointCloudState,
     create_pc_state,
     accumulate_points,

@@ -96,6 +96,26 @@ class TestClutterEnv:
         )
         assert sep > 0.05
 
+    def test_clutter_points_labeled_in_obs(self):
+        """Visible clutter surface enters the point state with
+        OBSTACLE_LABEL in channel 3 (round-3 collision-aware obs;
+        extension past the reference's target-only cloud, reference:
+        env/panda_scene.py:1178-1206); the validity count still only
+        counts target points."""
+        from gaddpg_tpu.render.pointcloud import OBSTACLE_LABEL
+
+        state, obs = jax.jit(self.env.reset)(jax.random.PRNGKey(7))
+        flags = None
+        for i in range(4):  # a few steps accumulate both classes
+            state, obs, _, _, info = jax.jit(self.env.step)(
+                state, jnp.zeros(6), jax.random.PRNGKey(100 + i))
+            flags = np.asarray(obs.point_state[3])
+            if (flags == OBSTACLE_LABEL).any():
+                break
+        assert set(np.unique(flags)) <= {0.0, 1.0, OBSTACLE_LABEL}
+        assert (flags == OBSTACLE_LABEL).any(), "no obstacle points seen"
+        assert int(info["point_num"]) > 0  # target count, not total
+
     def test_clutter_collision_event(self):
         state, _ = jax.jit(self.env.reset)(jax.random.PRNGKey(1))
         hand = self.env._hand(state)

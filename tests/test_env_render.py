@@ -149,6 +149,30 @@ class TestAccumulation:
         # every sampled point must be a written one, never a zero pad slot
         np.testing.assert_allclose(np.asarray(state[:3, 6:]), 9.0)
 
+    def test_obstacle_labels_round_trip(self):
+        """Obstacle inserts surface in channel 3 as OBSTACLE_LABEL and
+        never count toward the target-point validity total."""
+        from gaddpg_tpu.render.pointcloud import OBSTACLE_LABEL
+
+        pc = create_pc_state(256)
+        key = jax.random.PRNGKey(2)
+        tgt = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (32, 1))
+        obs = jnp.tile(jnp.array([[0.0, 5.0, 0.0]]), (16, 1))
+        pc = accumulate_points(pc, key, tgt, jnp.ones(32, bool), jnp.asarray(0))
+        pc = accumulate_points(pc, key, obs, jnp.ones(16, bool), jnp.asarray(0),
+                               label=OBSTACLE_LABEL)
+        state, n_target = build_point_state(pc, key, jnp.eye(4), num_pts=256)
+        assert int(n_target) == 32  # obstacle points excluded
+        flags = np.asarray(state[3])
+        np.testing.assert_allclose(flags[:6], 1.0)
+        assert set(np.unique(flags[6:])) <= {0.0, OBSTACLE_LABEL}
+        assert (flags[6:] == OBSTACLE_LABEL).any()
+        # label agrees with geometry: obstacle-labeled samples sit at y=5
+        pts = np.asarray(state[:3, 6:]).T
+        ob = flags[6:] == OBSTACLE_LABEL
+        np.testing.assert_allclose(pts[ob, 1], 5.0)
+        np.testing.assert_allclose(pts[~ob, 1], 0.0)
+
     def test_decay_reduces_kept_points(self):
         pc0 = create_pc_state(4096)
         key = jax.random.PRNGKey(1)
