@@ -479,12 +479,50 @@ def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrar
     return build_library(specs)
 
 
+_LIB_ARRAY_FIELDS = (
+    "spheres", "coarse_spheres", "surface_points", "extents", "mass",
+    "inertia", "grasps", "grasp_valid", "rest_height",
+)
+
+
+def save_library(lib: ObjectLibrary, path: str) -> None:
+    """Serialize a built ObjectLibrary (all padded arrays + names)."""
+    import numpy as np
+
+    np.savez_compressed(
+        path, names=np.asarray(lib.names, dtype=object),
+        **{k: np.asarray(getattr(lib, k)) for k in _LIB_ARRAY_FIELDS},
+    )
+
+
+def load_library(path: str) -> ObjectLibrary:
+    import numpy as np
+
+    data = np.load(path, allow_pickle=True)
+    return ObjectLibrary(
+        names=[str(n) for n in data["names"]],
+        **{k: jnp.asarray(data[k]) for k in _LIB_ARRAY_FIELDS},
+    )
+
+
 def library_from_mesh_index(path: str, split: str = "train") -> ObjectLibrary:
-    """Mesh-index JSON -> ObjectLibrary via the native asset pipeline."""
+    """Mesh-index JSON -> ObjectLibrary via the native asset pipeline.
+
+    The pipeline (voxel fill, sphere pack, antipodal candidates,
+    close-and-hold physics verification) costs minutes per hundred
+    objects, and every train/eval process reloads the same index, so
+    the built library is cached beside the JSON
+    (`<index>.<split>.libcache.npz`) keyed by the JSON's mtime --
+    the analogue of the reference's cached extraction
+    (reference: misc/grasp_data_reader.py caches + env asset reuse)."""
     import json
 
     from gaddpg_tpu.data.grasp_files import read_grasp_file
     from gaddpg_tpu.data.mesh_import import asset_from_mesh, extend_library, load_obj
+
+    cache = f"{path}.{split}.libcache.npz"
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
+        return load_library(cache)
 
     with open(path) as f:
         idx = json.load(f)
@@ -505,7 +543,12 @@ def library_from_mesh_index(path: str, split: str = "train") -> ObjectLibrary:
             asset_from_mesh(tris, mass=e.get("mass"), grasps=grasps)
         )
         names.append(e["name"])
-    return extend_library(empty_library(), built, names)
+    lib = extend_library(empty_library(), built, names)
+    try:
+        save_library(lib, cache)
+    except OSError:
+        pass  # read-only index location: rebuild next time
+    return lib
 
 
 def box_asset(w, d, h, mass=0.2, name="box") -> ObjectLibrary:

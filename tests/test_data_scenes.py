@@ -67,6 +67,23 @@ class TestMeshPipeline:
         assert lib2.spheres.shape[0] == lib.spheres.shape[0] + 1
         assert lib2.names[-1] == "custom_box"
 
+    def test_library_save_load_round_trip(self, tmp_path):
+        """save_library/load_library preserve every padded array --
+        the mesh-index load cache depends on it."""
+        from gaddpg_tpu.envs.assets import (
+            _LIB_ARRAY_FIELDS, load_library, save_library,
+        )
+
+        lib = library_from_index("ycb", "train")
+        path = str(tmp_path / "lib.npz")
+        save_library(lib, path)
+        back = load_library(path)
+        assert back.names == lib.names
+        for k in _LIB_ARRAY_FIELDS:
+            a, b = np.asarray(getattr(lib, k)), np.asarray(getattr(back, k))
+            assert a.dtype == b.dtype and a.shape == b.shape, k
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
 
 class TestGraspDataset:
     def test_batch_shapes_and_labels(self):
