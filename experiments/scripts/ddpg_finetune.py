@@ -74,8 +74,21 @@ def main():
     lib = verify_library_grasps(library_from_index("ycb", "train"))
     tr = Trainer(cfg, lib=lib)
     if SCRATCH:
-        print("from-scratch online TD3 (no checkpoint, empty buffers)",
-              flush=True)
+        # resume support for the long-horizon plateau run (round-2
+        # VERDICT item 7): pick the agent back up from OUT so the run
+        # can be chunked across sessions. Replay buffers are NOT
+        # persisted (a full 60k-transition buffer costs minutes per
+        # save on this host), so a resumed chunk re-fills its buffer
+        # from fresh exploration -- curve.json records the boundary
+        # via the wall_m reset.
+        resumed = load_agent(tr.agent_state, OUT)
+        if resumed is not None:
+            tr.agent_state = resumed
+            print(f"resumed from-scratch run at update_step="
+                  f"{int(tr.update_step)} (buffers re-fill)", flush=True)
+        else:
+            print("from-scratch online TD3 (no checkpoint, empty buffers)",
+                  flush=True)
     else:
         tr.buffer = load_npz(
             os.path.join(IN, "bc_demos.npz"), buffer_size=cfg.buffer_size,

@@ -56,12 +56,17 @@ def main():
 
     tr = Trainer(cfg, lib=lib)
 
+    # load BEFORE the expert arm: a wrong OUT path must fail fast, not
+    # after the expensive expert runs (round-2 advisor item 2)
+    loaded = load_agent(tr.agent_state, OUT)
+    assert loaded is not None, f"no checkpoint under {OUT}"
+
     results = {}
     results["untrained"] = eval_policy(
         tr, scenes, n_scenes, 1, label="untrained")
     results["expert"] = eval_policy(
         tr, scenes, n_scenes, RUNS, expert=True, label="expert")
-    tr.agent_state = load_agent(tr.agent_state, OUT)
+    tr.agent_state = loaded
     results["bc"] = eval_policy(tr, scenes, n_scenes, RUNS, label="bc")
     if os.environ.get("TIME_AB", "1") == "1":
         # deployment remaining-time convention A/B (max_steps - t instead

@@ -197,6 +197,14 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None,
                 train_kw[k] = v
     if policy:
         train_kw["policy"] = policy
+        if policy == "BC":
+            # BC is supervised: rl=False routes collection through the
+            # demo-curation block (success filter + the collision-aware
+            # demo filters, train/loop.py), the analogue of the
+            # reference's expert-only replay push
+            # (reference: core/replay_memory.py:214-215). A YAML/override
+            # RL: True still wins (explicit beats implied).
+            train_kw.setdefault("rl", False)
 
     env = EnvParams(**env_kw) if env_kw else EnvParams()
     cfg = TrainConfig(agent=AgentConfig(**agent_kw), env=env, **train_kw)
