@@ -53,6 +53,11 @@ def main():
     tr.agent_state = loaded
 
     waves = -(-n_scenes // ENVS)
+    if os.environ.get("EXPERT", "0") == "1":
+        t0 = time.time()
+        rate, _ = tr.evaluate(episodes=waves, scenes=scenes, expert=True)
+        print(f"RESULT expert: {rate:.3f} over {n_scenes} fixed scenes "
+              f"({time.time()-t0:.0f}s)", flush=True)
     rates = []
     for run in range(RUNS):
         t0 = time.time()

@@ -41,6 +41,10 @@ EXPERT = os.environ.get("EXPERT", "1") == "1"
 # collision_aux_weight adds a collision logit to the policy aux head
 # (agents/state.py), changing the param shapes load_agent restores
 COL_AUX = float(os.environ.get("COL_AUX", 0.0))
+# image-mode checkpoints swap the point trunk for the ResNet RGBDM
+# branch (same contract as eval_ckpt_fixed.py)
+USE_IMAGE = os.environ.get("USE_IMAGE", "0") == "1"
+IMG = int(os.environ.get("IMG", 64))
 
 
 def run_eval(tr, expert, label):
@@ -67,6 +71,8 @@ def main():
         "num_clutter": CLUTTER, "output_dir": OUT or "output/eval_tmp",
         "RNG_SEED": SEED,
         "collision_aux_weight": COL_AUX,
+        "use_image": USE_IMAGE,
+        "IMG_SIZE": IMG,
     }, policy="BC")
     lib = library_from_index(INDEX, SPLIT)
     if os.environ.get("VERIFY_GRASPS", "1") == "1":

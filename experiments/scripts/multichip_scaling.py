@@ -108,6 +108,14 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     results = {}
     for n in DEVICES:
+        if os.path.exists(os.path.join(OUT, f"dp{n}.json")):
+            # arm-level resume: a killed parent must not pay for
+            # completed arms again (each is ~1h on this host)
+            print(f"=== {n}-device arm: dp{n}.json exists, skipping ===",
+                  flush=True)
+            with open(os.path.join(OUT, f"dp{n}.json")) as f:
+                results[n] = json.load(f)
+            continue
         env = dict(os.environ)
         env["_MC_CHILD"] = str(n)
         env["JAX_PLATFORMS"] = "cpu"
