@@ -184,7 +184,13 @@ def folded_sa_weights(params, stats, n_layers: int = 3):
 def sa_mlp_probe() -> bool:
     """Compile + run the fused kernel on a tiny problem and check it
     against the plain-XLA computation; used by bench.py to report the
-    pallas_sa_mlp flag. Raises on failure (caller decides fallback)."""
+    pallas_sa_mlp flag. Raises on failure (caller decides fallback).
+
+    Tolerance is device-realistic (1e-2): on a real MXU both the kernel
+    and the XLA reference run their matmuls at default (bf16-input)
+    precision but may accumulate in different orders, so they agree to
+    ~4e-3, not 2e-5. Exact numeric parity is pinned separately by
+    tests/test_pallas_sa.py on CPU (interpret mode, f32, 2e-5)."""
     import numpy as np
 
     key = jax.random.PRNGKey(0)
@@ -211,6 +217,6 @@ def sa_mlp_probe() -> bool:
         h = jnp.maximum(h @ w + b, 0.0)
     ref = jnp.max(h, axis=1)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2
     )
     return True
