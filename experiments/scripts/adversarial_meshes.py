@@ -271,12 +271,16 @@ def make_torus_ring():
     return revolve(prof, nseg=24)
 
 
+# (name, generator, mass, voxel-res override). thin_cup's 3 mm wall
+# needs ~1.4 mm cells to register interior voxels at all; everything
+# else is fine at the default RES (asset_from_mesh scales the packing
+# min_radius down to the interior thickness for thin shells).
 MESHES = [
-    ("bowl_lip", make_bowl_lip, 0.14),
-    ("pitcher", make_pitcher, 0.20),
-    ("thin_cup", make_thin_cup, 0.08),
-    ("l_bracket", make_l_bracket, 0.25),
-    ("torus_ring", make_torus_ring, 0.18),
+    ("bowl_lip", make_bowl_lip, 0.14, None),
+    ("pitcher", make_pitcher, 0.20, None),
+    ("thin_cup", make_thin_cup, 0.08, 56),
+    ("l_bracket", make_l_bracket, 0.25, None),
+    ("torus_ring", make_torus_ring, 0.18, None),
 ]
 
 
@@ -292,13 +296,13 @@ def main():
     print(f"native mesh tools: {native_available()}", flush=True)
 
     entries, names, meta = [], [], []
-    for name, gen, mass in MESHES:
+    for name, gen, mass, res_over in MESHES:
         t0 = time.time()
         path = os.path.join(OUT, f"{name}.obj")
         verts, faces = gen()
         write_obj(path, verts, faces)
         tris = load_obj(path)
-        entry = asset_from_mesh(tris, mass=mass, res=RES)
+        entry = asset_from_mesh(tris, mass=mass, res=res_over or RES)
         ng = 0 if entry["grasps"] is None else len(entry["grasps"])
         print(f"{name}: {len(tris)} tris -> {len(entry['spheres'])} spheres, "
               f"{ng} verified grasps ({time.time()-t0:.0f}s)", flush=True)

@@ -142,8 +142,12 @@ def filter_grasps_by_spheres(grasps: np.ndarray, spheres: np.ndarray,
         r = live[:, 3]
         dx = np.maximum(np.abs(c[:, 0]) - pad_half[0], 0.0)
         dz = np.maximum(np.abs(c[:, 2] - pad_center_z) - pad_half[2], 0.0)
-        footprint = np.sqrt(dx**2 + dz**2) < r - margin
-        reachable = np.abs(c[:, 1]) < finger_travel + r - margin
+        # overlap requirement scales down for sub-margin spheres (thin
+        # shells pack ~1-3 mm spheres; `r - margin` would be negative
+        # and unsatisfiable, dropping every grasp on such geometry)
+        m = np.minimum(margin, 0.5 * r)
+        footprint = np.sqrt(dx**2 + dz**2) < r - m
+        reachable = np.abs(c[:, 1]) < finger_travel + r - m
         keep.append(bool((footprint & reachable).any()))
     return grasps[np.asarray(keep)]
 
@@ -249,7 +253,19 @@ def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
 
     occ = voxel_occupancy(tris, lo_p, hi_p, res)
     dist = surface_distance_grid(tris, lo_p, hi_p, res)
-    spheres = sphere_pack(occ, dist, lo_p, hi_p, max_spheres=max_spheres)
+    # thin-walled geometry: the default 4 mm packing floor would reject
+    # every interior sphere of a shell thinner than 8 mm, leaving the
+    # asset contactless. Scale the floor down to the actual interior
+    # thickness (deepest interior cell) so thin shells still pack; the
+    # 1 mm absolute floor keeps degenerate sliver cells out.
+    inside = occ.reshape(-1) > 0
+    interior_max = float(dist.reshape(-1)[inside].max()) if inside.any() else 0.0
+    # 0.35: a vessel's wall is thinner than its base plate (thin_cup:
+    # 1.4 mm wall depth vs 2.4 mm base) -- the floor must admit wall
+    # cells or the walls end up contactless and every pinch grasp fails
+    min_radius = float(np.clip(0.35 * interior_max, 0.8e-3, 4e-3))
+    spheres = sphere_pack(occ, dist, lo_p, hi_p, max_spheres=max_spheres,
+                          min_radius=min_radius)
     surface = surface_sample(tris, num_surface, seed=seed)
 
     extents = (hi - lo).astype(np.float32)

@@ -14,15 +14,43 @@ import numpy as np
 _LIB: Optional[ctypes.CDLL] = None
 
 
+_BUILD_TRIED = False
+
+
+def _try_build(native_dir: str) -> None:
+    """Best-effort one-shot `make -C native` on fresh checkouts.
+
+    The .so is a build product (not committed), so a clean clone would
+    otherwise silently run the ~50x slower numpy fallbacks for every
+    mesh import. Disable with GADDPG_NO_NATIVE_BUILD=1.
+    """
+    global _BUILD_TRIED
+    if _BUILD_TRIED or os.environ.get("GADDPG_NO_NATIVE_BUILD") == "1":
+        return
+    _BUILD_TRIED = True
+    src = os.path.join(native_dir, "mesh_tools.cc")
+    if not os.path.exists(src):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", native_dir], timeout=120,
+                       capture_output=True, check=False)
+    except Exception:
+        pass
+
+
 def _find_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for cand in (
+    cands = (
         os.path.join(here, "native", "libmesh_tools.so"),
         os.path.join(os.path.dirname(__file__), "libmesh_tools.so"),
-    ):
+    )
+    if not any(os.path.exists(c) for c in cands):
+        _try_build(os.path.join(here, "native"))
+    for cand in cands:
         if os.path.exists(cand):
             lib = ctypes.CDLL(cand)
             f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
@@ -129,22 +157,24 @@ def sphere_pack(occ: np.ndarray, dist: np.ndarray, lo, hi,
             lo, hi, res, max_spheres, np.float32(min_radius), out,
         )
         return out.reshape(-1, 4)[:n].copy()
-    # numpy fallback of the same greedy loop
+    # numpy fallback of the same greedy loop (depth + spread score;
+    # mirrors the native kernel -- see mesh_tools.cc sphere_pack)
     centers = _grid_centers(lo, hi, res).reshape(-1, 3)
     d = dist.reshape(-1).astype(np.float32).copy()
     occf = occ.reshape(-1).astype(bool)
+    mind = np.zeros_like(d)
     spheres = []
     while len(spheres) < max_spheres:
-        masked = np.where(occf, d, 0.0)
-        i = int(np.argmax(masked))
-        if masked[i] <= min_radius:
+        eligible = occf & (d > min_radius)
+        if not eligible.any():
             break
+        score = np.where(eligible, d + 0.5 * mind, -1.0)
+        i = int(np.argmax(score))
         c, r = centers[i], float(d[i])
         spheres.append([*c, r])
-        covered = (
-            np.linalg.norm(centers - c, axis=-1) + 0.6 * d < r
-        )
-        d[covered] = 0.0
+        dist_c = np.linalg.norm(centers - c, axis=-1)
+        d[dist_c + 0.6 * d < r] = 0.0  # covered
+        mind = dist_c if not len(spheres) > 1 else np.minimum(mind, dist_c)
     return np.asarray(spheres, np.float32).reshape(-1, 4)
 
 

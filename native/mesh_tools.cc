@@ -152,39 +152,52 @@ int sphere_pack(const uint8_t* occ, const float* dist, const float* lo,
                 float* out) {
   const double dx = (hi[0] - lo[0]) / res, dy = (hi[1] - lo[1]) / res,
                dz = (hi[2] - lo[2]) / res;
-  std::vector<float> d(dist, dist + (size_t)res * res * res);
+  const size_t n = (size_t)res * res * res;
+  std::vector<float> d(dist, dist + n);
+  // depth + spread score: pure deepest-first clusters the whole budget
+  // in the thickest region (a cup's 2.4 mm base plate absorbs all 32
+  // spheres; its 1.4 mm walls end up contactless and every pinch grasp
+  // closes on air). The farthest-point term pulls later picks toward
+  // uncovered regions while the depth term still prefers the largest
+  // sphere available there.
+  std::vector<float> mind(n, 0.0f);  // min distance to chosen centers
   int count = 0;
   while (count < max_spheres) {
-    // take the deepest remaining interior cell
     int best = -1;
-    float bd = min_radius;
-    for (int i = 0; i < res * res * res; ++i)
-      if (occ[i] && d[i] > bd) {
-        bd = d[i];
-        best = i;
+    double bs = -1.0;
+    for (size_t i = 0; i < n; ++i) {
+      if (!occ[i] || d[i] <= min_radius) continue;
+      double score = d[i] + 0.5 * mind[i];
+      if (score > bs) {
+        bs = score;
+        best = (int)i;
       }
+    }
     if (best < 0) break;
     int ix = best / (res * res), iy = (best / res) % res, iz = best % res;
     float cx = (float)(lo[0] + (ix + 0.5) * dx);
     float cy = (float)(lo[1] + (iy + 0.5) * dy);
     float cz = (float)(lo[2] + (iz + 0.5) * dz);
+    float bd = d[best];
     out[count * 4 + 0] = cx;
     out[count * 4 + 1] = cy;
     out[count * 4 + 2] = cz;
     out[count * 4 + 3] = bd;
-    ++count;
-    // carve: suppress cells whose sphere would be mostly inside this one
+    // carve covered cells; refresh the farthest-point distances
     for (int jx = 0; jx < res; ++jx)
       for (int jy = 0; jy < res; ++jy)
         for (int jz = 0; jz < res; ++jz) {
           size_t j = ((size_t)jx * res + jy) * res + jz;
-          if (!occ[j] || d[j] <= 0) continue;
+          if (!occ[j]) continue;
           double px = lo[0] + (jx + 0.5) * dx - cx;
           double py = lo[1] + (jy + 0.5) * dy - cy;
           double pz = lo[2] + (jz + 0.5) * dz - cz;
           double dist_c = std::sqrt(px * px + py * py + pz * pz);
-          if (dist_c + 0.6 * d[j] < bd) d[j] = 0;  // covered
+          if (d[j] > 0 && dist_c + 0.6 * d[j] < bd) d[j] = 0;  // covered
+          float fd = (float)dist_c;
+          if (count == 0 || fd < mind[j]) mind[j] = fd;
         }
+    ++count;
   }
   return count;
 }
