@@ -306,8 +306,11 @@ def main():
         ng = 0 if entry["grasps"] is None else len(entry["grasps"])
         print(f"{name}: {len(tris)} tris -> {len(entry['spheres'])} spheres, "
               f"{ng} verified grasps ({time.time()-t0:.0f}s)", flush=True)
-        meta.append({"name": name, "tris": len(tris), "grasps": int(ng)})
+        meta.append({"name": name, "tris": len(tris), "grasps": int(ng),
+                     "res": res_over or RES})
         if ng == 0:
+            # still REPORTED below: a zero-grasp mesh is the failure
+            # mode this eval exists to surface, not a row to drop
             print(f"  !! {name}: no grasp survived verification", flush=True)
             continue
         entries.append(entry)
@@ -344,9 +347,13 @@ def main():
         print(f"{name}: expert {wins}/{valid} = {rate:.2f} "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    avg = float(np.mean([r[3] for r in rows])) if rows else 0.0
+    # the average covers only MEASURED rates: a 0/0 mesh (scene-validity
+    # pipeline failure) or a zero-grasp mesh is reported as n/a, never
+    # averaged in as 0.00 (advisor round-3 item 3)
+    measured = [r for r in rows if r[2] > 0]
+    avg = float(np.mean([r[3] for r in measured])) if measured else 0.0
     md = [
-        "# Adversarial non-convex mesh eval (round 3)",
+        "# Adversarial non-convex mesh eval",
         "",
         "Hand-authored watertight OBJ meshes with the contact features",
         "proxy primitives never exercise (interior lip, thin wall,",
@@ -356,23 +363,36 @@ def main():
         "verification -> CHOMP expert rollouts",
         "(reference asset path: env/panda_scene.py:523-573).",
         "",
-        f"Settings: res={RES}, {SEEDS} seeds/mesh, device "
-        f"{jax.devices()[0].platform}.",
+        f"Settings: res={RES} (per-mesh overrides in the table), "
+        f"{SEEDS} seeds/mesh, device {jax.devices()[0].platform}.",
         "",
-        "| mesh | tris | verified grasps | expert success | episodes |",
-        "|---|---|---|---|---|",
+        "| mesh | tris | res | verified grasps | expert success | episodes |",
+        "|---|---|---|---|---|---|",
     ]
-    by = {m["name"]: m for m in meta}
-    for name, wins, valid, rate, dt in rows:
-        md.append(f"| {name} | {by[name]['tris']} | {by[name]['grasps']} "
-                  f"| {rate:.2f} | {wins}/{valid} |")
-    md += ["", f"**Average expert success: {avg:.3f}**", ""]
+    by_rate = {r[0]: r for r in rows}
+    for m in meta:
+        name = m["name"]
+        if m["grasps"] == 0:
+            md.append(f"| {name} | {m['tris']} | {m['res']} | 0 "
+                      f"| n/a (no grasp survived verification) | - |")
+        elif name in by_rate and by_rate[name][2] > 0:
+            _, wins, valid, rate, _ = by_rate[name]
+            md.append(f"| {name} | {m['tris']} | {m['res']} "
+                      f"| {m['grasps']} | {rate:.2f} | {wins}/{valid} |")
+        else:
+            md.append(f"| {name} | {m['tris']} | {m['res']} "
+                      f"| {m['grasps']} | n/a (0 valid episodes: scene "
+                      f"validity failed) | 0/0 |")
+    md += ["", f"**Average expert success over {len(measured)} measured "
+           f"meshes: {avg:.3f}** "
+           f"({len(meta) - len(measured)} reported n/a, excluded)", ""]
     res_path = os.path.join(os.path.dirname(__file__), "..", "results",
                             "adversarial_meshes.md")
     with open(res_path, "w") as f:
         f.write("\n".join(md))
     with open(os.path.join(OUT, "result.json"), "w") as f:
-        json.dump({"rows": [list(r) for r in rows], "avg": avg}, f)
+        json.dump({"rows": [list(r) for r in rows], "meta": meta,
+                   "avg": avg, "n_measured": len(measured)}, f)
     print(f"average expert success: {avg:.3f} -> {res_path}", flush=True)
 
 

@@ -15,7 +15,7 @@ Usage: python experiments/scripts/gen_proc_shapenet.py \
 
 import argparse
 
-from gaddpg_tpu.data.procgen import export_proc_index
+from gaddpg_tpu.data.procgen import export_proc_index, export_proc_seed_index
 
 
 def main():
@@ -24,8 +24,19 @@ def main():
     ap.add_argument("--train", type=int, default=120)
     ap.add_argument("--test", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--seed-index", default="",
+        help="write a repo-shippable proc_seed_index JSON (seeds + grasp "
+             "manifest, no OBJ files) to this path instead; regenerates "
+             "experiments/object_index/proc_shapenet_1216.json with "
+             "--train 1216 --test 304")
     args = ap.parse_args()
-    path = export_proc_index(args.out, args.train, args.test, seed0=args.seed)
+    if args.seed_index:
+        path = export_proc_seed_index(args.seed_index, args.train, args.test,
+                                      seed0=args.seed)
+    else:
+        path = export_proc_index(args.out, args.train, args.test,
+                                 seed0=args.seed)
     print("wrote", path)
 
 

@@ -18,6 +18,13 @@ from gaddpg_tpu.data.mesh_native import (
     voxel_occupancy,
 )
 
+# Version of the mesh -> asset pipeline (voxel fill, packing score,
+# adaptive min_radius, grasp generation). Bump whenever asset_from_mesh
+# output changes for the same mesh: cached mesh-index libraries
+# (envs/assets.py library_from_mesh_index) are keyed on this, so a
+# stale cache can never mix packings from two pipeline versions.
+PACKING_VERSION = 3
+
 
 def load_obj(path: str, scale: float = 1.0) -> np.ndarray:
     """Minimal OBJ parser -> (n_tri, 3, 3) float32 triangles.
@@ -257,7 +264,7 @@ def asset_from_mesh(tris: np.ndarray, mass: Optional[float] = None,
     # every interior sphere of a shell thinner than 8 mm, leaving the
     # asset contactless. Scale the floor down to the actual interior
     # thickness (deepest interior cell) so thin shells still pack; the
-    # 1 mm absolute floor keeps degenerate sliver cells out.
+    # 0.8 mm absolute floor keeps degenerate sliver cells out.
     inside = occ.reshape(-1) > 0
     interior_max = float(dist.reshape(-1)[inside].max()) if inside.any() else 0.0
     # 0.35: a vessel's wall is thinner than its base plate (thin_cup:

@@ -39,18 +39,34 @@ def _try_build(native_dir: str) -> None:
         pass
 
 
+def _is_stale(so_path: str, src: str) -> bool:
+    """A .so older than mesh_tools.cc would silently run an outdated
+    kernel (e.g. the pre-round-3 deepest-first scoring) while the numpy
+    fallback implements the current semantics."""
+    try:
+        return (os.path.exists(src)
+                and os.path.getmtime(so_path) < os.path.getmtime(src))
+    except OSError:
+        return True
+
+
 def _find_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(here, "native", "mesh_tools.cc")
     cands = (
         os.path.join(here, "native", "libmesh_tools.so"),
         os.path.join(os.path.dirname(__file__), "libmesh_tools.so"),
     )
-    if not any(os.path.exists(c) for c in cands):
+    fresh = [c for c in cands if os.path.exists(c) and not _is_stale(c, src)]
+    if not fresh:
+        # missing OR stale: (re)build once, then re-check freshness
         _try_build(os.path.join(here, "native"))
-    for cand in cands:
+        fresh = [c for c in cands
+                 if os.path.exists(c) and not _is_stale(c, src)]
+    for cand in fresh:
         if os.path.exists(cand):
             lib = ctypes.CDLL(cand)
             f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
@@ -157,24 +173,46 @@ def sphere_pack(occ: np.ndarray, dist: np.ndarray, lo, hi,
             lo, hi, res, max_spheres, np.float32(min_radius), out,
         )
         return out.reshape(-1, 4)[:n].copy()
-    # numpy fallback of the same greedy loop (depth + spread score;
-    # mirrors the native kernel -- see mesh_tools.cc sphere_pack)
-    centers = _grid_centers(lo, hi, res).reshape(-1, 3)
+    return _sphere_pack_numpy(occ, dist, lo, hi, max_spheres, min_radius)
+
+
+def _sphere_pack_numpy(occ, dist, lo, hi, max_spheres, min_radius):
+    """numpy fallback of the same greedy loop (depth + spread score).
+
+    Bit-exact mirror of the native kernel (mesh_tools.cc sphere_pack):
+    centers/distances/carve tests in float64 over float32 inputs, mind
+    stored float32 -- symmetric meshes produce exact score ties that
+    must break toward the same cell on both paths, else a missing .so
+    silently changes every packing. tests/test_procgen.py pins parity."""
+    res = occ.shape[0]
+    lo64 = np.ascontiguousarray(lo, np.float32).astype(np.float64)
+    hi64 = np.ascontiguousarray(hi, np.float32).astype(np.float64)
+    step = (hi64 - lo64) / res
+    ax = [lo64[k] + (np.arange(res) + 0.5) * step[k] for k in range(3)]
+    centers = np.stack(np.meshgrid(*ax, indexing="ij"), -1).reshape(-1, 3)
     d = dist.reshape(-1).astype(np.float32).copy()
     occf = occ.reshape(-1).astype(bool)
     mind = np.zeros_like(d)
+    minr = np.float32(min_radius)
     spheres = []
     while len(spheres) < max_spheres:
-        eligible = occf & (d > min_radius)
+        eligible = occf & (d > minr)
         if not eligible.any():
             break
-        score = np.where(eligible, d + 0.5 * mind, -1.0)
+        score = np.where(
+            eligible, d.astype(np.float64) + 0.5 * mind.astype(np.float64),
+            -1.0,
+        )
         i = int(np.argmax(score))
-        c, r = centers[i], float(d[i])
-        spheres.append([*c, r])
-        dist_c = np.linalg.norm(centers - c, axis=-1)
-        d[dist_c + 0.6 * d < r] = 0.0  # covered
-        mind = dist_c if not len(spheres) > 1 else np.minimum(mind, dist_c)
+        c, r = centers[i], d[i]  # c float64, r float32
+        spheres.append([np.float32(c[0]), np.float32(c[1]),
+                        np.float32(c[2]), r])
+        dist_c = np.sqrt(((centers - c) ** 2).sum(-1))  # float64
+        covered = (d > 0) & (dist_c + 0.6 * d.astype(np.float64)
+                             < np.float64(r))
+        d[covered] = 0.0
+        fd = dist_c.astype(np.float32)
+        mind = fd if len(spheres) == 1 else np.minimum(mind, fd)
     return np.asarray(spheres, np.float32).reshape(-1, 4)
 
 

@@ -230,3 +230,117 @@ def export_proc_index(out_dir: str, n_train: int, n_test: int,
     with open(os.path.join(out_dir, "gen_stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return path
+
+
+def export_proc_seed_index(out_path: str, n_train: int, n_test: int,
+                           seed0: int = 0, test_seed0: int = 100000,
+                           log_every: int = 100) -> str:
+    """Versioned, repo-shippable index: seeds + per-object grasp manifest.
+
+    The OBJ-file index (export_proc_index) ships 18 MB of meshes; this
+    variant ships ONLY the generator seeds plus a manifest of what the
+    pipeline produced for each (verified grasp count, sphere count,
+    family), pinned to `mesh_import.PACKING_VERSION`. Because
+    random_proc_mesh is deterministic in the seed and the pipeline is
+    deterministic in (mesh, PACKING_VERSION), a fresh clone rebuilds the
+    identical library from this JSON alone -- the analogue of checking
+    in the reference's filter_shapenet.json (reference:
+    experiments/object_index/filter_shapenet.json, 1216 train objects)
+    without shipping ShapeNet itself.
+    """
+    import json
+    import time
+
+    from gaddpg_tpu.data.mesh_import import PACKING_VERSION
+
+    t0 = time.time()
+    idx = {
+        "format": "proc_seed_index",
+        "packing_version": PACKING_VERSION,
+        "generator": "gaddpg_tpu.data.procgen.random_proc_mesh",
+        "train": [],
+        "test": [],
+    }
+    skipped = 0
+    for split, n, s0 in (("train", n_train, seed0),
+                         ("test", n_test, test_seed0)):
+        seed, made, attempts = s0, 0, 0
+        while made < n and attempts < 3 * n:
+            entry, name = proc_entry(seed)
+            _, fam = random_proc_mesh(seed)
+            cur = seed
+            seed += 1
+            attempts += 1
+            if entry["grasps"] is None or len(entry["grasps"]) == 0:
+                skipped += 1
+                continue
+            idx[split].append({
+                "name": name, "seed": cur, "family": fam,
+                "grasps": int(len(entry["grasps"])),
+                "spheres": int(len(entry["spheres"])),
+            })
+            made += 1
+            if log_every and (made % log_every == 0):
+                print(f"[proc_seed_index] {split} {made}/{n} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+    idx["skipped"] = skipped
+    idx["gen_seconds"] = round(time.time() - t0, 1)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(idx, f, indent=0)
+    return out_path
+
+
+def library_from_seed_index(path: str, split: str = "train"):
+    """proc_seed_index JSON -> ObjectLibrary (cached beside the JSON).
+
+    Refuses a PACKING_VERSION mismatch: the manifest's grasp counts were
+    produced by that pipeline version, so a silent rebuild under a newer
+    packing would ship unvalidated assets. Grasp-count drift on matching
+    versions raises too -- it means the build is not reproducing the
+    manifest (non-determinism or a pipeline change without a bump).
+    """
+    import json
+
+    from gaddpg_tpu.data.mesh_import import PACKING_VERSION, extend_library
+    from gaddpg_tpu.envs.assets import (
+        empty_library, load_library, save_library,
+    )
+
+    with open(path) as f:
+        idx = json.load(f)
+    if idx.get("format") != "proc_seed_index":
+        raise ValueError(f"{path}: not a proc_seed_index JSON")
+    if int(idx["packing_version"]) != PACKING_VERSION:
+        raise ValueError(
+            f"{path}: built with packing_version={idx['packing_version']}, "
+            f"pipeline is v{PACKING_VERSION} -- regenerate the index "
+            f"(experiments/scripts/gen_proc_shapenet.py --seed-index)"
+        )
+    cache = f"{path}.{split}.v{PACKING_VERSION}.libcache.npz"
+    if (os.path.exists(cache)
+            and os.path.getmtime(cache) >= os.path.getmtime(path)):
+        return load_library(cache)
+    entries, names = [], []
+    drift = []
+    for e in idx[split]:
+        built, name = proc_entry(int(e["seed"]))
+        ng = 0 if built["grasps"] is None else int(len(built["grasps"]))
+        if ng != int(e["grasps"]) or name != e["name"]:
+            drift.append((e["name"], e["grasps"], name, ng))
+        if ng == 0:
+            continue
+        entries.append(built)
+        names.append(name)
+    if drift:
+        raise RuntimeError(
+            f"{path}: {len(drift)} objects do not reproduce the manifest "
+            f"(first: {drift[0]}); pipeline changed without a "
+            f"PACKING_VERSION bump?"
+        )
+    lib = extend_library(empty_library(), entries, names)
+    try:
+        save_library(lib, cache)
+    except OSError:
+        pass
+    return lib

@@ -464,6 +464,18 @@ def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrar
             specs = [s for s in specs if s.name != "019_pitcher_base"]
     elif index == "extra_shape":
         specs = extra_shape_specs()
+    elif index == "proc_shapenet_1216":
+        # the checked-in reference-cardinality index artifact
+        # (experiments/object_index/proc_shapenet_1216.json: 1216 train
+        # / 304 test seeds + grasp manifest, the filter_shapenet.json
+        # analogue) -- works from a fresh clone, no downloads
+        from gaddpg_tpu.data.procgen import library_from_seed_index
+
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        return library_from_seed_index(
+            os.path.join(here, "experiments", "object_index",
+                         "proc_shapenet_1216.json"), split)
     elif index.startswith("proc_shapenet"):
         # procedural ShapeNet-scale sweep through the native mesh
         # pipeline; "proc_shapenet:N" sets the object count (default 64)
@@ -473,6 +485,14 @@ def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrar
         seed0 = 0 if split == "train" else 100000
         return build_proc_library(n, seed0=seed0)
     elif index.endswith(".json") and os.path.exists(index):
+        import json
+
+        with open(index) as f:
+            head = json.load(f)
+        if isinstance(head, dict) and head.get("format") == "proc_seed_index":
+            from gaddpg_tpu.data.procgen import library_from_seed_index
+
+            return library_from_seed_index(index, split)
         return library_from_mesh_index(index, split)
     else:
         raise ValueError(index)
@@ -512,15 +532,19 @@ def library_from_mesh_index(path: str, split: str = "train") -> ObjectLibrary:
     close-and-hold physics verification) costs minutes per hundred
     objects, and every train/eval process reloads the same index, so
     the built library is cached beside the JSON
-    (`<index>.<split>.libcache.npz`) keyed by the JSON's mtime --
-    the analogue of the reference's cached extraction
+    (`<index>.<split>.v<PACKING_VERSION>.libcache.npz`) keyed by the
+    JSON's mtime AND the asset-pipeline version, so a packing-score or
+    min_radius change can never serve stale sphere sets -- the analogue
+    of the reference's cached extraction
     (reference: misc/grasp_data_reader.py caches + env asset reuse)."""
     import json
 
     from gaddpg_tpu.data.grasp_files import read_grasp_file
-    from gaddpg_tpu.data.mesh_import import asset_from_mesh, extend_library, load_obj
+    from gaddpg_tpu.data.mesh_import import (
+        PACKING_VERSION, asset_from_mesh, extend_library, load_obj,
+    )
 
-    cache = f"{path}.{split}.libcache.npz"
+    cache = f"{path}.{split}.v{PACKING_VERSION}.libcache.npz"
     if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
         return load_library(cache)
 

@@ -56,37 +56,87 @@ def scene_slice(scenes: Dict, start: int, count: int) -> Dict:
     return {k: jnp.asarray(np.asarray(v)[idx]) for k, v in scenes.items()}
 
 
-def import_mat_scene(path: str, name_to_idx: Optional[dict] = None) -> Dict:
-    """Best-effort import of a reference scene_{k}.mat.
+def _mat_paths_to_names(path_arr) -> list:
+    """The reference's `path` entries are object directories like
+    'data/objects/025_mug/' (env/panda_scene.py:642-659: the target's
+    name is the last path component). loadmat yields either a padded
+    char matrix or an object array of str -- normalize both."""
+    names = []
+    arr = np.atleast_1d(np.asarray(path_arr))
+    for e in arr.reshape(-1):
+        # cell arrays load as object elements wrapping a string array
+        sub = np.atleast_1d(np.asarray(e))
+        s = str(sub.reshape(-1)[0]) if sub.size else ""
+        s = s.strip().rstrip("/")
+        if s:
+            names.append(s.split("/")[-1])
+    return names
 
-    The reference scene files carry object pose(s) and arm joints;
-    key names vary across generations, so probe the common ones.
+
+def import_mat_scene(path: str, name_to_idx: Optional[dict] = None) -> Dict:
+    """Import a reference scene_{k}.mat into the Scene dict format.
+
+    The reference layout (env/panda_scene.py:628-668,
+    core/train_test_offline.py:181-184): `pose` is an (N, 4, 4) stack
+    of object pose matrices, `path` lists the object mesh directories
+    with the TARGET first (panda_scene.py:657-659 takes
+    objects_paths[0]), and optional `init_joints` carries the arm
+    configuration. The reference's quaternions are xyzw (ros_quat);
+    we derive wxyz directly from the rotation matrix instead.
+
+    Older/foreign dumps with flat [t(3), q(4)] poses and joints under
+    other key names are still accepted via key probing.
     """
     from scipy.io import loadmat
 
+    from gaddpg_tpu.geometry.rotations import mat_to_quat
+    from gaddpg_tpu.robot.panda import DEFAULT_JOINTS
+
     m = loadmat(path)
     joints = None
-    for k in ("joints", "init_joints", "arm_joints", "robot_joints"):
+    for k in ("init_joints", "joints", "arm_joints", "robot_joints"):
         if k in m:
-            joints = np.asarray(m[k]).reshape(-1)[:7]
+            joints = np.asarray(m[k], np.float64).reshape(-1)[:7]
             break
+    if joints is None:
+        # the reference falls back to its default init when the scene
+        # carries no init_joints (panda_scene.py:666-667 is optional)
+        joints = np.asarray(DEFAULT_JOINTS, np.float64).reshape(-1)[:7]
+
     pose = None
     for k in ("pose", "obj_poses", "object_poses", "poses"):
         if k in m:
-            pose = np.asarray(m[k])
+            pose = np.asarray(m[k], np.float64)
             break
-    if pose is None or joints is None:
+    if pose is None:
         raise ValueError(
             f"unrecognized scene file {path}: keys {sorted(m.keys())}"
         )
-    pose = pose.reshape(-1)[:7]  # [t(3), q(4)] packed
+
+    if pose.ndim >= 2 and pose.shape[-2:] == (4, 4):
+        # reference layout: target placement = poses[0]
+        t_pose = pose.reshape(-1, 4, 4)[0]
+        obj_pos = t_pose[:3, 3]
+        obj_quat = np.asarray(mat_to_quat(t_pose[:3, :3]))  # wxyz
+    else:
+        flat = pose.reshape(-1)[:7]  # legacy [t(3), q(4)] packed
+        obj_pos, obj_quat = flat[:3], flat[3:7]
+
     obj_idx = 0
-    if name_to_idx and "target_name" in m:
-        obj_idx = name_to_idx.get(str(m["target_name"]), 0)
+    target_name = None
+    if "path" in m:
+        names = _mat_paths_to_names(m["path"])
+        if names:
+            target_name = names[0]
+    elif "target_name" in m:
+        target_name = str(np.asarray(m["target_name"]).reshape(-1)[0])
+    if name_to_idx and target_name is not None:
+        obj_idx = name_to_idx.get(target_name, 0)
+
     return {
         "obj_idx": np.asarray([obj_idx], np.int32),
-        "obj_pos": pose[None, :3].astype(np.float32),
-        "obj_quat": pose[None, 3:7].astype(np.float32),
-        "joints": joints[None].astype(np.float32),
+        "obj_pos": np.asarray(obj_pos)[None].astype(np.float32),
+        "obj_quat": np.asarray(obj_quat)[None].astype(np.float32),
+        "joints": np.asarray(joints)[None].astype(np.float32),
         "ik_ok": np.asarray([True]),
     }

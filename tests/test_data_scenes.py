@@ -154,6 +154,65 @@ class TestReferenceFormats:
         np.testing.assert_allclose(scene["obj_quat"][0], pose[3:7], atol=1e-6)
         np.testing.assert_allclose(scene["joints"][0], joints, atol=1e-6)
 
+    def test_mat_scene_reference_layout(self, tmp_path):
+        # the ACTUAL reference scene_{k}.mat layout (VERDICT round-3
+        # item 5): pose = (N, 4, 4) matrices, path = object dirs with
+        # the TARGET FIRST, optional init_joints
+        # (reference: env/panda_scene.py:628-668)
+        from scipy.io import savemat
+
+        from gaddpg_tpu.envs.scenes import import_mat_scene
+
+        path = str(tmp_path / "scene_7.mat")
+        rot_z90 = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+        poses = np.tile(np.eye(4), (3, 1, 1))
+        poses[0, :3, :3] = rot_z90
+        poses[0, :3, 3] = [0.58, -0.04, 0.06]
+        joints = np.array([0.1, -1.0, 0.0, -2.4, 0.0, 1.6, 0.7])
+        savemat(path, {
+            "pose": poses,
+            "path": np.array([  # cell array of object directories
+                "data/objects/025_mug/",
+                "data/objects/Table/",
+                "data/objects/floor/",
+            ], dtype=object),
+            "init_joints": joints,
+        })
+        scene = import_mat_scene(path, name_to_idx={"025_mug": 5})
+        assert int(scene["obj_idx"][0]) == 5
+        np.testing.assert_allclose(scene["obj_pos"][0],
+                                   [0.58, -0.04, 0.06], atol=1e-6)
+        half = np.sqrt(0.5)
+        np.testing.assert_allclose(np.abs(scene["obj_quat"][0]),
+                                   [half, 0, 0, half], atol=1e-6)
+        np.testing.assert_allclose(scene["joints"][0], joints, atol=1e-6)
+
+        # without init_joints the import falls back to the default arm
+        savemat(path, {"pose": poses, "path": np.array(["data/objects/x/"],
+                                                       dtype=object)})
+        scene = import_mat_scene(path)
+        assert scene["joints"].shape == (1, 7)
+        assert np.isfinite(scene["joints"]).all()
+
+    def test_mat_scene_reference_layout_resets_env(self, tmp_path):
+        from scipy.io import savemat
+
+        from gaddpg_tpu.envs.scenes import import_mat_scene
+
+        path = str(tmp_path / "scene_9.mat")
+        poses = np.tile(np.eye(4), (1, 1, 1))
+        poses[0, :3, 3] = [0.55, 0.0, 0.07]
+        savemat(path, {"pose": poses,
+                       "path": np.array(["data/objects/box/"], dtype=object),
+                       "init_joints": np.array(
+                           [0.0, -0.8, 0.0, -2.2, 0.0, 1.6, 0.8])})
+        scene = import_mat_scene(path, name_to_idx={"box": 0})
+        env = PandaGraspEnv(EnvParams(), box_asset(0.05, 0.05, 0.14))
+        s = {k: jnp.asarray(np.asarray(v)[0]) for k, v in scene.items()}
+        state, obs = jax.jit(env.reset_scene)(s, jax.random.PRNGKey(0))
+        assert obs.point_state.shape == (4, 1030)
+        assert abs(float(state.phys.obj.pos[0]) - 0.55) < 0.02
+
     def test_mat_scene_resets_env(self, tmp_path):
         from scipy.io import savemat
 
@@ -203,6 +262,67 @@ class TestReferenceFormats:
         assert int(buf.filled) == 24
         batch = replay.sample(buf, jax.random.PRNGKey(0), 8, episode_max_len=4)
         assert batch["action"].shape == (8, 6)
+
+
+    def test_reference_npz_full_dump(self, tmp_path):
+        # a dump shaped EXACTLY like the reference's data_50k.npz
+        # (VERDICT round-3 item 5): float64 (B, 4, 1030) point clouds,
+        # (N, 1, 6) actions, the full attr_names key set incl. pose /
+        # image_state(None) / is_full / total_env_step
+        # (reference: core/replay_memory.py:33-50, 338-356)
+        from gaddpg_tpu import replay
+
+        n, pts = 48, 1030
+        rng = np.random.RandomState(3)
+        ep_map = np.repeat(np.arange(4) * 12 + 11, 12)
+        rew = np.zeros(n)
+        rew[11::12] = 1.0
+        data = {
+            "action": rng.uniform(-0.05, 0.05, (n, 1, 6)),
+            "pose": np.tile(np.eye(4), (n, 1, 1)),        # ignored key
+            "point_state": rng.randn(n, 4, pts).astype(np.float64),
+            "target_idx": np.zeros(n),
+            "reward": rew,
+            "terminal": np.zeros(n),
+            "timestep": np.tile(np.arange(12), 4).astype(np.float64),
+            "returns": np.zeros(n),
+            "state_pose": np.tile(np.eye(4), (n, 1, 1)),
+            "image_state": np.array(None, dtype=object),  # no-image dump
+            "collide": np.zeros(n),
+            "grasp": np.zeros(n),
+            "perturb_flags": np.zeros(n),
+            "goal": np.zeros((n, 7)),
+            "expert_flags": np.ones(n),
+            "expert_action": rng.uniform(-0.05, 0.05, (n, 1, 6)),
+            "episode_map": ep_map,
+            "is_full": False,
+            "cur_idx": n,
+            "total_env_step": 4 * 26,
+        }
+        path = str(tmp_path / "data_50k.npz")
+        np.savez(path, **data)
+        buf = replay.load_npz(path, buffer_size=128, num_points=pts)
+        assert int(buf.filled) == n
+        assert buf.point_state.shape == (128, 4, pts)
+        np.testing.assert_allclose(
+            np.asarray(buf.point_state[:n], np.float64),
+            data["point_state"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(buf.action[:n]),
+                                   data["action"][:, 0], atol=1e-6)
+        # collide_future was absent from the dump -> backfilled zeros
+        np.testing.assert_array_equal(np.asarray(buf.collide_future[:n]), 0)
+        batch = replay.sample(buf, jax.random.PRNGKey(1), 16,
+                              episode_max_len=12)
+        assert batch["point_state"].shape == (16, 4, pts)
+        assert np.isfinite(np.asarray(batch["return"])).all()
+
+        # round-trip: our save_npz output loads back identically
+        out = str(tmp_path / "resave.npz")
+        replay.save_npz(buf, out)
+        buf2 = replay.load_npz(out, buffer_size=128, num_points=pts)
+        np.testing.assert_allclose(np.asarray(buf2.point_state[:n]),
+                                   np.asarray(buf.point_state[:n]))
+        assert int(buf2.filled) == int(buf.filled)
 
 
 class TestGraspFileIngestion:
