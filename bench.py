@@ -300,24 +300,27 @@ def run_bench():
         )
     if MODE == "learner":
         result["pallas_sa_mlp"] = probe_pallas_sa_mlp()
-        # train-mode fused SA (round-3 verdict item 2): probe for
-        # correctness, then a reduced-envelope same-run A/B picks the
-        # faster train path on THIS chip for the headline update time
-        use_fused_train = False
+        # train-mode fused SA (round-3 verdict item 2): probe + a
+        # reduced-envelope same-run A/B for the TIMING record, but the
+        # headline update runs the production dispatch -- the fused
+        # train path is opt-in (GADDPG_PALLAS_SA_TRAIN=1) because its
+        # forward numerics drift vs XLA on this device and are
+        # unvalidated on real silicon (ops/pallas_sa_train.py
+        # docstring); the flag reports the production dispatch
+        opted_in = os.environ.get("GADDPG_PALLAS_SA_TRAIN", "") == "1"
         if probe_pallas_sa_train():
             try:
-                os.environ["GADDPG_PALLAS_SA"] = "1"
+                os.environ["GADDPG_PALLAS_SA_TRAIN"] = "1"
                 fused_ms = bench_learner_update(batch=64, npts=512, iters=1)
-                os.environ["GADDPG_PALLAS_SA"] = "0"
+                os.environ["GADDPG_PALLAS_SA_TRAIN"] = "0"
                 xla_ms = bench_learner_update(batch=64, npts=512, iters=1)
                 result["sa_train_ab_ms_b64"] = {
                     "fused": round(fused_ms, 1), "xla": round(xla_ms, 1),
                 }
-                use_fused_train = fused_ms < xla_ms
             except Exception:
-                use_fused_train = False
-        os.environ["GADDPG_PALLAS_SA"] = "1" if use_fused_train else "0"
-        result["pallas_sa_train"] = bool(use_fused_train)
+                pass
+        os.environ["GADDPG_PALLAS_SA_TRAIN"] = "1" if opted_in else "0"
+        result["pallas_sa_train"] = bool(opted_in)
         ms = bench_learner_update(batch=LEARNER_BATCH)
         result.update(
             metric=f"DDPG update latency at batch {LEARNER_BATCH}",

@@ -61,6 +61,10 @@ DART = os.environ.get("DART", "0") == "1"
 # compression of the whole buffer: minutes per save on the tunnel
 # device/1-core host -- raise this when resumability doesn't matter)
 SAVE_EVERY = int(os.environ.get("SAVE_EVERY", 5))
+# training-curve snapshots: SNAP_EVERY=k keeps OUT/snap_<n> agent
+# copies every k updates (training here is deterministic, so one run +
+# per-snapshot evals measures the success-vs-updates curve directly)
+SNAP_EVERY = int(os.environ.get("SNAP_EVERY", 0))
 # collision-aware imitation knobs (round-2 VERDICT item 2: the policy's
 # clutter gap is collision-dominated; the reference only LOGS collision,
 # reference: env/panda_scene.py:1078-1095 -- we train on it):
@@ -173,6 +177,10 @@ def main():
                 json.dump({"updates": i + 1, "n_data": n_data,
                            "loss_first25": float(np.mean(losses[:25])),
                            "loss_last25": float(np.mean(losses[-25:]))}, f)
+        if SNAP_EVERY and (i + 1) % SNAP_EVERY == 0:
+            snap = os.path.join(OUT, f"snap_{i + 1}")
+            os.makedirs(snap, exist_ok=True)
+            save_agent(tr.agent_state, snap)
         if time.time() - t_start > MAX_HOURS * 3600:
             log("total time budget hit")
             break

@@ -69,8 +69,11 @@ class SetAbstraction(nn.Module):
         # with the point table resident in VMEM (ops/pallas_sa.py).
         # train-mode TPU path (round-3 verdict item 2): streaming-stats
         # fused kernels + exact XLA-recompute backward
-        # (ops/pallas_sa_train.py); init and non-TPU keep the XLA
-        # layers below (autodiff + batch stats)
+        # (ops/pallas_sa_train.py). OPT-IN via GADDPG_PALLAS_SA_TRAIN:
+        # an identical-seed e2e A/B on the axon device measured a
+        # policy-quality collapse from compounding forward deviation
+        # (see the pallas_sa_train module docstring); init and non-TPU
+        # keep the XLA layers below (autodiff + batch stats)
         use_fused = (
             not train
             and not self.is_initializing()
@@ -87,7 +90,8 @@ class SetAbstraction(nn.Module):
             if use_fused_train:
                 full = jnp.concatenate([xyz, feats], axis=-1)
                 pooled, stats = pallas_sa_train.groupall_train_fused(
-                    full, self._raw_dense_bn(), pallas_sa.sa_interpret()
+                    full, self._raw_dense_bn(),
+                    pallas_sa_train.sa_train_interpret(),
                 )
                 self._update_bn_running(stats)
                 new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
@@ -120,7 +124,7 @@ class SetAbstraction(nn.Module):
                 ).at[:, :, :3].set(new_xyz)
                 pooled, stats = pallas_sa_train.sa_train_fused(
                     group_idx, full, cpad, self._raw_dense_bn(),
-                    pallas_sa.sa_interpret(),
+                    pallas_sa_train.sa_train_interpret(),
                 )
                 self._update_bn_running(stats)
                 return new_xyz, pooled

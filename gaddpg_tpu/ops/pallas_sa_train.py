@@ -30,12 +30,25 @@ re-derives gradients through an XLA reference implementation
 unfused path EXACTLY by construction, and no forward activations are
 saved (rematerialized backward).
 
-Dispatch: shares GADDPG_PALLAS_SA with the eval kernel (0 off,
-"interpret" for CPU parity tests); models/pointnet.py routes train-mode
-SA stages here when enabled.
+Dispatch: OPT-IN via GADDPG_PALLAS_SA_TRAIN ("1" on-device,
+"interpret" for CPU parity tests; default OFF). The eval kernel keeps
+its own GADDPG_PALLAS_SA switch. Why opt-in: on the axon emulator the
+kernel's bf16-MXU accumulation order deviates from XLA's enough that
+downstream head BatchNorm batch stats drift ~10% within 3 updates on
+real demo batches (experiments/scripts/diag_update_ab.py), so a long
+training run integrates a genuinely different trajectory than the XLA
+path -- unvalidated numerics in the hottest loop. A round-4
+identical-seed 5000-update e2e A/B measured NO final-quality gap
+(0.101 fused vs 0.104 XLA on the proc-mesh test split; both arms hit
+the same late-training collapse, tracked separately), but "no gap on
+one emulator run" is not validation: re-run that e2e A/B on real
+silicon before flipping the default. Gradients are exact by
+construction (the custom-vjp backward is the XLA recompute); the risk
+is forward-path drift only.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaddpg_tpu.ops.pallas_sa import sa_fused_enabled, sa_interpret
+from gaddpg_tpu.ops.pallas_sa import sa_interpret
 
 BN_EPS = 1e-5
 
@@ -424,8 +437,18 @@ groupall_train_fused.defvjp(_groupall_fwd, _groupall_bwd)
 
 
 def sa_train_enabled() -> bool:
-    """Train-path dispatch shares the eval kernel's switch."""
-    return sa_fused_enabled()
+    """Train-path dispatch: explicit opt-in only (see module
+    docstring for the measured e2e regression behind the default)."""
+    return os.environ.get("GADDPG_PALLAS_SA_TRAIN", "") in (
+        "1", "interpret")
+
+
+def sa_train_interpret() -> bool:
+    """Interpret-mode flag for the train kernels: honors the train
+    switch's own "interpret" value, else the eval kernel's."""
+    if os.environ.get("GADDPG_PALLAS_SA_TRAIN", "") == "interpret":
+        return True
+    return sa_interpret()
 
 
 def sa_train_probe() -> bool:
@@ -449,7 +472,7 @@ def sa_train_probe() -> bool:
         dense.append((w, b, jnp.ones((d,)), jnp.zeros((d,))))
         c = d
     dense = tuple(dense)
-    interp = sa_interpret()
+    interp = sa_train_interpret()
 
     # Device-realistic tolerance (5e-2): on the MXU both sides run
     # bf16-input matmuls with different accumulation orders, and the

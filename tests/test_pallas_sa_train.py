@@ -19,12 +19,13 @@ from gaddpg_tpu.ops import pallas_sa_train as pst
 
 @pytest.fixture
 def interpret_mode(monkeypatch):
-    monkeypatch.setenv("GADDPG_PALLAS_SA", "interpret")
+    monkeypatch.setenv("GADDPG_PALLAS_SA_TRAIN", "interpret")
 
 
 @pytest.fixture
 def xla_mode(monkeypatch):
     monkeypatch.setenv("GADDPG_PALLAS_SA", "0")
+    monkeypatch.delenv("GADDPG_PALLAS_SA_TRAIN", raising=False)
 
 
 def _mk_inputs(B=3, N=48, Cin=4, seed=0):
@@ -88,9 +89,9 @@ class TestModuleParity:
             sa = SetAbstraction(8, 0.02, 16, (6, 6, 8),
                                 group_all=group_all)
             v = sa.init(jax.random.PRNGKey(1), xyz, feats, train=True)
-            monkeypatch.setenv("GADDPG_PALLAS_SA", "0")
+            monkeypatch.setenv("GADDPG_PALLAS_SA_TRAIN", "0")
             nx_r, f_r, bs_r = self._apply(sa, v, xyz, feats)
-            monkeypatch.setenv("GADDPG_PALLAS_SA", "interpret")
+            monkeypatch.setenv("GADDPG_PALLAS_SA_TRAIN", "interpret")
             nx_f, f_f, bs_f = self._apply(sa, v, xyz, feats)
             np.testing.assert_allclose(np.asarray(nx_f), np.asarray(nx_r),
                                        atol=1e-6)
@@ -118,10 +119,10 @@ class TestModuleParity:
                     train=True, mutable=["batch_stats"])
                 return jnp.sum(f * f)
 
-            monkeypatch.setenv("GADDPG_PALLAS_SA", "0")
+            monkeypatch.setenv("GADDPG_PALLAS_SA_TRAIN", "0")
             l_ref, g_ref = jax.value_and_grad(loss)(params, pc)
             gp_ref = jax.grad(lambda x: loss(params, x))(pc)
-            monkeypatch.setenv("GADDPG_PALLAS_SA", "interpret")
+            monkeypatch.setenv("GADDPG_PALLAS_SA_TRAIN", "interpret")
             l_fused, g_fused = jax.value_and_grad(loss)(params, pc)
             gp_fused = jax.grad(lambda x: loss(params, x))(pc)
 
