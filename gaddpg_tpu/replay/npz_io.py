@@ -28,6 +28,12 @@ def save_npz(buf: ReplayBuffer, path: str, trim: bool = True):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     n = buf.size if not trim else max(int(buf.filled), 1)
     save = {k: np.asarray(getattr(buf, k))[:n] for k in _SAVE_KEYS}
+    # image-mode buffers carry real (C, H, W) frames; point-cloud-only
+    # buffers use a (1, 1, 1) placeholder that is not worth a dump.
+    # f16 on disk halves the file (frames are [0, 1] RGB + metric depth)
+    img = np.asarray(buf.image_state)
+    if img.ndim == 4 and img.shape[1:] != (1, 1, 1):
+        save["image_state"] = img[:n].astype(np.float16)
     save["is_full"] = bool(buf.is_full)
     save["filled"] = int(buf.filled)
     save["cur_idx"] = int(buf.cur_idx)
@@ -56,7 +62,8 @@ def load_npz(path: str, buffer_size: Optional[int] = None,
     buf = create_buffer(size, num_points=num_points, image_shape=img_shape)
 
     upd = {}
-    for k in _SAVE_KEYS:
+    load_keys = _SAVE_KEYS + (("image_state",) if img_shape else ())
+    for k in load_keys:
         if k not in data:
             continue
         src = np.asarray(data[k])

@@ -107,6 +107,44 @@ class TestImageReplay:
             np.asarray(batch["next_image_state"][:, 0, 0, 0]), nxt.astype(np.float32)
         )
 
+    def test_npz_roundtrip_preserves_images(self, tmp_path):
+        # round-4 image-pipeline bug: save_npz dropped image_state, so
+        # a reloaded image buffer raised KeyError in the BC update
+        from gaddpg_tpu.replay.npz_io import load_npz, save_npz
+
+        buf = replay.create_buffer(64, num_points=70, image_shape=(5, S, S))
+        T = 6
+        ep = {
+            "point_state": jnp.zeros((T, 4, 70)),
+            "image_state": jnp.ones((T, 5, S, S))
+            * jnp.arange(T)[:, None, None, None] / 8.0,
+            "action": jnp.zeros((T, 6)),
+            "expert_action": jnp.zeros((T, 6)),
+            "reward": jnp.zeros((T,)).at[T - 1].set(1.0),
+            "terminal": jnp.zeros((T,)).at[T - 1].set(1.0),
+            "timestep": jnp.arange(T, dtype=jnp.float32),
+            "state_pose": jnp.tile(jnp.eye(4), (T, 1, 1)),
+            "goal": jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0.1]), (T, 1)),
+            "expert_flags": jnp.ones((T,)),
+            "perturb_flags": jnp.zeros((T,)),
+            "collide": jnp.zeros((T,)),
+            "grasp": jnp.zeros((T,)),
+            "target_idx": jnp.zeros((T,)),
+        }
+        buf = replay.add_episode(buf, ep, jnp.ones((T,), bool))
+        path = str(tmp_path / "img_buf.npz")
+        save_npz(buf, path)
+        buf2 = load_npz(path, buffer_size=64, num_points=70)
+        assert buf2.image_state.shape == buf.image_state.shape
+        np.testing.assert_allclose(
+            np.asarray(buf2.image_state[:T], np.float32),
+            np.asarray(buf.image_state[:T], np.float32),
+            atol=2e-3,  # f16 on disk
+        )
+        batch = replay.sample(buf2, jax.random.PRNGKey(0), 8,
+                              episode_max_len=4)
+        assert batch["image_state"].shape == (8, 5, S, S)
+
 
 class TestDomainRandomization:
     """Per-episode visual randomization (VERDICT round-1 item 6;
