@@ -95,6 +95,16 @@ def log(msg):
 def main():
     os.makedirs(OUT, exist_ok=True)
     t_start = time.time()
+    if COL_FILTER and COL_AUX > 0:
+        # round-4 root cause: COL_FILTER removes every collision
+        # episode, so the collision aux head trains on all-zero labels
+        # -- a saturated BCE whose Adam drift through the shared
+        # encoder collapsed the policy after ~4.5k updates (the logit
+        # clip in losses.collision_bce now bounds the drift, but the
+        # aux still learns nothing from a positive-free buffer)
+        print("WARNING: COL_FILTER=1 leaves the COL_AUX collision head "
+              "with zero positive labels; prefer COL_DISCOUNT over "
+              "COL_FILTER when COL_AUX>0", flush=True)
     buffer_size = max(
         TARGET_TRANSITIONS + DAGGER_WAVES * ENVS * 26 + 2000, 8000
     )

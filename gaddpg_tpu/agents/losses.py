@@ -50,9 +50,21 @@ def pose_bc_loss(pi, expert_action, mask=None):
     return _masked_mean(l1, mask)
 
 
-def collision_bce(logit, target, mask=None):
+def collision_bce(logit, target, mask=None, bound: float = 8.0):
     """Sigmoid binary cross-entropy for the collision-prediction logit
-    against the collide_future flag (numerically stable log1p form)."""
+    against the collide_future flag (numerically stable log1p form).
+
+    The logit is hard-clipped to [-bound, bound]: past the clip the
+    gradient is exactly zero, which stops the Adam saturation drift
+    that round 4 root-caused as a late-training policy collapse --
+    with COL_FILTER=1 demos every label is 0, the saturated BCE
+    gradient never reaches 0 fast enough for Adam's normalized steps,
+    and ~4.5k updates of constant-direction drift through the SHARED
+    encoder degrade the action features while bc_loss stays flat
+    (success 0.62 -> 0.17, experiments/results/proc_policy.md round-4b
+    curves). sigmoid(8) = 3e-4: the clip costs nothing on real
+    two-class data."""
+    logit = jnp.clip(logit, -bound, bound)
     loss = jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(
         jnp.exp(-jnp.abs(logit))
     )

@@ -96,6 +96,20 @@ def test_collision_bce_matches_reference_form():
                                rtol=1e-5)
 
 
+def test_collision_bce_gradient_stops_at_clip():
+    """Saturation-drift guard (round-4 collapse root cause): on all-
+    negative labels the gradient must become exactly zero once the
+    logit passes the clip bound, so Adam's normalized steps cannot keep
+    pushing the shared encoder in a constant direction forever."""
+    target = jnp.zeros((4,))
+    g_inside = jax.grad(
+        lambda z: collision_bce(z, target))(jnp.full((4,), -5.0))
+    g_past = jax.grad(
+        lambda z: collision_bce(z, target))(jnp.full((4,), -9.0))
+    assert float(jnp.abs(g_inside).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(g_past), 0.0)
+
+
 def test_bc_update_with_collision_losses_steps():
     """The BC update runs with both collision knobs on, produces finite
     losses, and the collision logit learns the obvious constant."""
