@@ -72,6 +72,10 @@ EVAL_ENVS = int(os.environ.get("EVAL_ENVS", 25))
 #                  0.92 on verified DBs -- a natural weak-BC regime)
 FRACTION = float(os.environ.get("FRACTION", 1.0))
 VERIFY = os.environ.get("VERIFY", "1") == "1"
+# SEED varies BOTH init and the sampling stream (seed-replication for
+# the weak-expert table: a single deterministic run can't distinguish
+# a +5pt arm difference from init luck at 200 eval episodes).
+SEED = int(os.environ.get("SEED", 0))
 
 
 def agent_cfg(mix):
@@ -127,7 +131,7 @@ def q_calibration(state, cfg, batch):
 
 
 def run_arm(arm):
-    out = os.path.join(OUT, arm)
+    out = os.path.join(OUT, arm if SEED == 0 else f"{arm}_s{SEED}")
     os.makedirs(out, exist_ok=True)
     t_start = time.time()
 
@@ -160,14 +164,14 @@ def run_arm(arm):
     print(f"[{arm}] buffer: {int(buf.filled)} train transitions, "
           f"{probe['return'].shape[0]} held-out probe", flush=True)
 
-    key = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(7 + 1000 * SEED)
     phases = {
         "noq": [(0.0, UPDATES)],
         "td3": [(0.1, UPDATES)],
         "pretrain": [(0.0, UPDATES // 2), (0.1, UPDATES - UPDATES // 2)],
     }[arm]
 
-    state = create_agent_state(jax.random.PRNGKey(0), agent_cfg(0.0),
+    state = create_agent_state(jax.random.PRNGKey(SEED), agent_cfg(0.0),
                                npoints=num_pts)
     losses = []
     for mix, n_upd in phases:
@@ -200,7 +204,7 @@ def run_arm(arm):
     with open(os.path.join(out, "result.json"), "w") as f:
         json.dump({
             "arm": arm, "updates": UPDATES, "batch": BATCH,
-            "fraction": FRACTION, "verified_db": VERIFY,
+            "fraction": FRACTION, "verified_db": VERIFY, "seed": SEED,
             "success": rate, "calibration": calib,
             "critic_loss_last50": float(np.mean([l[0] for l in losses[-50:]])),
             "bc_loss_last50": float(np.mean([l[1] for l in losses[-50:]])),

@@ -239,6 +239,13 @@ def main():
                     f"bc_loss={np.mean(d_losses[-40:]):.4f} "
                     f"buffer={stats['buffer_idx']}")
                 save_agent(tr.agent_state, OUT)
+                if SNAP_EVERY:
+                    # dagger-phase curve points (eval_snaps.py reads
+                    # snap_<update_step>, so key on the global step)
+                    snap = os.path.join(
+                        OUT, f"snap_{int(tr.agent_state.update_step)}")
+                    os.makedirs(snap, exist_ok=True)
+                    save_agent(tr.agent_state, snap)
             if time.time() - t_start > MAX_HOURS * 3600:
                 log("total time budget hit in dagger phase")
                 break

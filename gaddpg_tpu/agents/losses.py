@@ -54,21 +54,32 @@ def collision_bce(logit, target, mask=None, bound: float = 8.0):
     """Sigmoid binary cross-entropy for the collision-prediction logit
     against the collide_future flag (numerically stable log1p form).
 
-    The logit is hard-clipped to [-bound, bound]: past the clip the
-    gradient is exactly zero, which stops the Adam saturation drift
-    that round 4 root-caused as a late-training policy collapse --
-    with COL_FILTER=1 demos every label is 0, the saturated BCE
-    gradient never reaches 0 fast enough for Adam's normalized steps,
-    and ~4.5k updates of constant-direction drift through the SHARED
-    encoder degrade the action features while bc_loss stays flat
-    (success 0.62 -> 0.17, experiments/results/proc_policy.md round-4b
-    curves). sigmoid(8) = 3e-4: the clip costs nothing on real
-    two-class data."""
+    Two guards against the round-4 late-training collapse (success
+    0.62 -> 0.17 after ~4.5k updates with collision-filtered demos,
+    experiments/results/proc_policy.md):
+
+    1. The logit is hard-clipped to [-bound, bound] (zero gradient past
+       the clip). sigmoid(8) = 3e-4, so the clip costs nothing on real
+       two-class data.
+    2. The batch loss is GATED to zero when the batch carries no
+       positive label. The clip alone proved insufficient (run
+       bc_proc_r4e: identical collapse at ~4.5k updates WITH the clip):
+       on an all-negative buffer the logit equilibrates just inside the
+       bound, where the per-sample gradient is tiny (~3e-4) but
+       CONSTANT-SIGN -- and Adam's normalized steps turn any constant-
+       sign gradient into full-size drift through the SHARED encoder,
+       degrading action features while bc_loss stays flat. A one-class
+       aux task carries no information, so its correct loss is 0; with
+       real positives in the batch (clutter buffers collected with
+       COL_DISCOUNT instead of COL_FILTER) the gate is a no-op.
+    """
     logit = jnp.clip(logit, -bound, bound)
     loss = jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(
         jnp.exp(-jnp.abs(logit))
     )
-    return _masked_mean(loss, mask)
+    tgt = target if mask is None else target * mask
+    has_pos = (jnp.max(tgt) > 0.5).astype(loss.dtype)
+    return has_pos * _masked_mean(loss, mask)
 
 
 def smooth_l1(pred, target, mask=None, beta: float = 1.0):

@@ -97,17 +97,38 @@ def test_collision_bce_matches_reference_form():
 
 
 def test_collision_bce_gradient_stops_at_clip():
-    """Saturation-drift guard (round-4 collapse root cause): on all-
-    negative labels the gradient must become exactly zero once the
-    logit passes the clip bound, so Adam's normalized steps cannot keep
-    pushing the shared encoder in a constant direction forever."""
-    target = jnp.zeros((4,))
+    """Saturation-drift guard (round-4 collapse root cause): with a
+    positive present the loss is live inside the clip bound and its
+    gradient is exactly zero past it, so Adam's normalized steps cannot
+    keep pushing the shared encoder in a constant direction forever."""
+    target = jnp.array([1.0, 0.0, 0.0, 0.0])
     g_inside = jax.grad(
         lambda z: collision_bce(z, target))(jnp.full((4,), -5.0))
     g_past = jax.grad(
         lambda z: collision_bce(z, target))(jnp.full((4,), -9.0))
     assert float(jnp.abs(g_inside).max()) > 0.0
     np.testing.assert_allclose(np.asarray(g_past), 0.0)
+
+
+def test_collision_bce_gates_positive_free_batches():
+    """One-class guard: run bc_proc_r4e showed the clip alone does NOT
+    stop the drift (the logit equilibrates just inside the bound where
+    a tiny constant-sign gradient + Adam normalization still walks the
+    shared encoder). On an all-negative batch -- the collision-filtered
+    demo buffers have literally zero positive labels -- both the loss
+    and its gradient must be exactly zero."""
+    target = jnp.zeros((4,))
+    logit = jnp.array([-5.0, -2.0, 0.0, 3.0])
+    assert float(collision_bce(logit, target)) == 0.0
+    g = jax.grad(lambda z: collision_bce(z, target))(logit)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+    # masked variant: a positive hidden behind the mask must not unlock
+    # the gate
+    target2 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    mask = jnp.array([0.0, 1.0, 1.0, 1.0])
+    assert float(collision_bce(logit, target2, mask)) == 0.0
+    # with a LIVE positive the gate is a no-op
+    assert float(collision_bce(logit, target2)) > 0.0
 
 
 def test_bc_update_with_collision_losses_steps():
