@@ -307,7 +307,12 @@ def run_bench():
         # forward numerics drift vs XLA on this device and are
         # unvalidated on real silicon (ops/pallas_sa_train.py
         # docstring); the flag reports the production dispatch
-        opted_in = os.environ.get("GADDPG_PALLAS_SA_TRAIN", "") == "1"
+        # save the caller's value VERBATIM and restore it after the A/B
+        # ('interpret' is a documented opt-in value too -- clobbering it
+        # to '0' would silently disable the fused path for the headline
+        # update; round-4 advisor item)
+        orig_sa_train = os.environ.get("GADDPG_PALLAS_SA_TRAIN")
+        opted_in = orig_sa_train in ("1", "interpret")
         if probe_pallas_sa_train():
             try:
                 os.environ["GADDPG_PALLAS_SA_TRAIN"] = "1"
@@ -319,7 +324,10 @@ def run_bench():
                 }
             except Exception:
                 pass
-        os.environ["GADDPG_PALLAS_SA_TRAIN"] = "1" if opted_in else "0"
+        if orig_sa_train is None:
+            os.environ.pop("GADDPG_PALLAS_SA_TRAIN", None)
+        else:
+            os.environ["GADDPG_PALLAS_SA_TRAIN"] = orig_sa_train
         result["pallas_sa_train"] = bool(opted_in)
         ms = bench_learner_update(batch=LEARNER_BATCH)
         result.update(

@@ -39,15 +39,27 @@ def _try_build(native_dir: str) -> None:
         pass
 
 
-def _is_stale(so_path: str, src: str) -> bool:
-    """A .so older than mesh_tools.cc would silently run an outdated
-    kernel (e.g. the pre-round-3 deepest-first scoring) while the numpy
-    fallback implements the current semantics."""
+# Must match mesh_tools_version() in native/mesh_tools.cc. Bumped when
+# any kernel's semantics change (e.g. the round-3 sphere-pack scoring).
+EXPECTED_VERSION = 3
+
+
+def _load_if_current(so_path: str):
+    """CDLL the library only if its embedded version symbol matches.
+
+    mtime comparison is unreliable (a fresh git checkout stamps sources
+    with checkout time, so a genuinely current prebuilt .so is judged
+    stale and a failed rebuild silently drops to the ~50x slower numpy
+    fallback — round-4 advisor item). An outdated .so predating the
+    version symbol simply lacks it and is rejected the same way."""
     try:
-        return (os.path.exists(src)
-                and os.path.getmtime(so_path) < os.path.getmtime(src))
-    except OSError:
-        return True
+        lib = ctypes.CDLL(so_path)
+        lib.mesh_tools_version.restype = ctypes.c_long
+        if lib.mesh_tools_version() == EXPECTED_VERSION:
+            return lib
+    except (OSError, AttributeError):
+        pass
+    return None
 
 
 def _find_lib():
@@ -55,34 +67,29 @@ def _find_lib():
     if _LIB is not None:
         return _LIB
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    src = os.path.join(here, "native", "mesh_tools.cc")
     cands = (
         os.path.join(here, "native", "libmesh_tools.so"),
         os.path.join(os.path.dirname(__file__), "libmesh_tools.so"),
     )
-    fresh = [c for c in cands if os.path.exists(c) and not _is_stale(c, src)]
-    if not fresh:
-        # missing OR stale: (re)build once, then re-check freshness
+    lib = next((l for c in cands if (l := _load_if_current(c))), None)
+    if lib is None:
+        # missing OR version-mismatched: (re)build once, then re-check
         _try_build(os.path.join(here, "native"))
-        fresh = [c for c in cands
-                 if os.path.exists(c) and not _is_stale(c, src)]
-    for cand in fresh:
-        if os.path.exists(cand):
-            lib = ctypes.CDLL(cand)
-            f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
-            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
-            lib.voxel_occupancy.argtypes = [f32p, ctypes.c_int, f32p, f32p,
-                                            ctypes.c_int, u8p]
-            lib.surface_distance_grid.argtypes = [f32p, ctypes.c_int, f32p, f32p,
-                                                  ctypes.c_int, f32p]
-            lib.sphere_pack.argtypes = [u8p, f32p, f32p, f32p, ctypes.c_int,
-                                        ctypes.c_int, ctypes.c_float, f32p]
-            lib.sphere_pack.restype = ctypes.c_int
-            lib.surface_sample.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
-                                           ctypes.c_uint64, f32p]
-            _LIB = lib
-            return lib
-    return None
+        lib = next((l for c in cands if (l := _load_if_current(c))), None)
+    if lib is not None:
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        lib.voxel_occupancy.argtypes = [f32p, ctypes.c_int, f32p, f32p,
+                                        ctypes.c_int, u8p]
+        lib.surface_distance_grid.argtypes = [f32p, ctypes.c_int, f32p, f32p,
+                                              ctypes.c_int, f32p]
+        lib.sphere_pack.argtypes = [u8p, f32p, f32p, f32p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_float, f32p]
+        lib.sphere_pack.restype = ctypes.c_int
+        lib.surface_sample.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_uint64, f32p]
+        _LIB = lib
+    return lib
 
 
 def native_available() -> bool:

@@ -22,6 +22,7 @@ so the antipodal generator can find grasps.
 """
 
 import os
+import sys
 from typing import List, Tuple
 
 import numpy as np
@@ -283,6 +284,17 @@ def export_proc_seed_index(out_path: str, n_train: int, n_test: int,
             if log_every and (made % log_every == 0):
                 print(f"[proc_seed_index] {split} {made}/{n} "
                       f"({time.time() - t0:.0f}s)", flush=True)
+        # record requested vs produced: the 3n attempt budget can run out
+        # on grasp-poor seed ranges, and a silently short index would make
+        # library_from_seed_index build a smaller library than advertised
+        # (round-4 advisor item)
+        idx[f"requested_{split}"] = int(n)
+        idx[f"produced_{split}"] = int(made)
+        if made < n:
+            print(f"[proc_seed_index] WARNING: {split} produced only "
+                  f"{made}/{n} entries after {attempts} attempts "
+                  f"({skipped} grasp-free seeds skipped)",
+                  file=sys.stderr, flush=True)
     idx["skipped"] = skipped
     idx["gen_seconds"] = round(time.time() - t0, 1)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)

@@ -485,11 +485,16 @@ def library_from_index(index: str = "ycb", split: str = "train") -> ObjectLibrar
         seed0 = 0 if split == "train" else 100000
         return build_proc_library(n, seed0=seed0)
     elif index.endswith(".json") and os.path.exists(index):
-        import json
+        import re
 
+        # peek only at a small prefix for the format tag -- the shipped
+        # proc index is ~10k lines and json.load-ing it twice (once here,
+        # once in the loader) is a real cost on this 1-core host
+        # (round-4 advisor item); the generator writes "format" as the
+        # first key (data/procgen.py export_proc_seed_index)
         with open(index) as f:
-            head = json.load(f)
-        if isinstance(head, dict) and head.get("format") == "proc_seed_index":
+            head = f.read(2048)
+        if re.search(r'"format"\s*:\s*"proc_seed_index"', head):
             from gaddpg_tpu.data.procgen import library_from_seed_index
 
             return library_from_seed_index(index, split)

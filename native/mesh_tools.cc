@@ -91,6 +91,12 @@ double point_tri_dist(const V3& p, const V3& a, const V3& b, const V3& c) {
 
 extern "C" {
 
+// ABI/semantics version. Bump whenever any kernel's semantics change so
+// gaddpg_tpu/data/mesh_native.py can reject an outdated prebuilt .so by
+// symbol rather than by filesystem mtime (a fresh git checkout stamps
+// sources with checkout time, making a current .so look stale).
+long mesh_tools_version(void) { return 3; }
+
 // Parity-count voxel occupancy: grid (res^3) of 0/1 interior flags.
 // tris: (n_tri * 9) floats; bounds: lo[3], hi[3].
 void voxel_occupancy(const float* tris, int n_tri, const float* lo,
