@@ -91,8 +91,8 @@ def main():
     t_occf = timeit("occluder_depth (full)", jax.jit(jax.vmap(occ_full)),
                     states)
 
+    from gaddpg_tpu.physics.step import gripper_box_poses
     from gaddpg_tpu.render.camera import box_zdepth, plane_zdepth
-    from gaddpg_tpu.robot.panda import gripper_box_poses
 
     def occ_noarm(st):
         hand = env._hand(st)
