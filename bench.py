@@ -307,12 +307,17 @@ def run_bench():
         # forward numerics drift vs XLA on this device and are
         # unvalidated on real silicon (ops/pallas_sa_train.py
         # docstring); the flag reports the production dispatch
-        # save the caller's value VERBATIM and restore it after the A/B
-        # ('interpret' is a documented opt-in value too -- clobbering it
-        # to '0' would silently disable the fused path for the headline
-        # update; round-4 advisor item)
+        # save the caller's value VERBATIM ('interpret' is a documented
+        # value too -- clobbering it to '0' would silently change the
+        # headline dispatch; round-4 advisor item). Same-run A/B at a
+        # reduced envelope decides the HEADLINE dispatch, exactly like
+        # the contact-scan A/B above: the fused train kernels are
+        # numerically validated (round-5 gather-precision fix,
+        # ops/pallas_sa_train.py) and default-on for TPU, but on the
+        # emulator-class bench device their per-grid-step dispatch can
+        # lose to XLA -- a slower path must never tax the headline.
         orig_sa_train = os.environ.get("GADDPG_PALLAS_SA_TRAIN")
-        opted_in = orig_sa_train in ("1", "interpret")
+        chosen = None
         if probe_pallas_sa_train():
             try:
                 os.environ["GADDPG_PALLAS_SA_TRAIN"] = "1"
@@ -322,13 +327,19 @@ def run_bench():
                 result["sa_train_ab_ms_b64"] = {
                     "fused": round(fused_ms, 1), "xla": round(xla_ms, 1),
                 }
+                chosen = "1" if fused_ms < xla_ms else "0"
             except Exception:
-                pass
-        if orig_sa_train is None:
-            os.environ.pop("GADDPG_PALLAS_SA_TRAIN", None)
-        else:
+                chosen = "0"
+        if orig_sa_train is not None:
             os.environ["GADDPG_PALLAS_SA_TRAIN"] = orig_sa_train
-        result["pallas_sa_train"] = bool(opted_in)
+        elif chosen is not None:
+            os.environ["GADDPG_PALLAS_SA_TRAIN"] = chosen
+        else:
+            os.environ.pop("GADDPG_PALLAS_SA_TRAIN", None)
+        # report the dispatch the headline update actually runs through
+        from gaddpg_tpu.ops.pallas_sa_train import sa_train_enabled
+
+        result["pallas_sa_train"] = bool(sa_train_enabled())
         ms = bench_learner_update(batch=LEARNER_BATCH)
         result.update(
             metric=f"DDPG update latency at batch {LEARNER_BATCH}",

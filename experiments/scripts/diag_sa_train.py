@@ -78,6 +78,33 @@ def main():
         dev(f"ga stats{i} mean", mf, mx)
         dev(f"ga stats{i} var", vf, vx)
 
+    # calibration row: the PRODUCTION XLA trunk runs its Dense layers in
+    # bfloat16 (pointnet.py dtype=compute_dtype, GADDPG_BF16=1 default).
+    # Recompute the same forward with per-layer bf16 casts and measure
+    # ITS deviation from the f32 reference -- the scale of forward error
+    # the production path already accepts. If the fused kernel's
+    # deviation (above) is far below this, "drift vs XLA" is the wrong
+    # framing: the kernel is the more faithful forward.
+    def _xla_bf16(group_idx, full, cpad, dense):
+        g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(full, group_idx)
+        h = g - cpad[:, :, None, :]
+        outs = []
+        for (w, b, sc, bi) in dense:
+            z = (h.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16)
+                 ).astype(jnp.float32) + b
+            m = jnp.mean(z, axis=(0, 1, 2))
+            v = jnp.mean(jnp.square(z), axis=(0, 1, 2)) - jnp.square(m)
+            outs.append((m, v))
+            a = sc / jnp.sqrt(v + 1e-5)
+            h = jnp.maximum(z * a + (bi - m * a), 0.0)
+        return jnp.max(h, axis=2), tuple(outs)
+
+    out_b, st_b = jax.jit(_xla_bf16)(idx, full, cpad, dense)
+    dev("bf16-XLA pooled (vs f32)", out_b, out_x)
+    for i, ((mb, vb), (mx, vx)) in enumerate(zip(st_b, st_x)):
+        dev(f"bf16 stats{i} mean", mb, mx)
+        dev(f"bf16 stats{i} var", vb, vx)
+
 
 if __name__ == "__main__":
     main()

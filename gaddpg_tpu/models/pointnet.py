@@ -69,11 +69,12 @@ class SetAbstraction(nn.Module):
         # with the point table resident in VMEM (ops/pallas_sa.py).
         # train-mode TPU path (round-3 verdict item 2): streaming-stats
         # fused kernels + exact XLA-recompute backward
-        # (ops/pallas_sa_train.py). OPT-IN via GADDPG_PALLAS_SA_TRAIN:
-        # an identical-seed e2e A/B on the axon device measured a
-        # policy-quality collapse from compounding forward deviation
-        # (see the pallas_sa_train module docstring); init and non-TPU
-        # keep the XLA layers below (autodiff + batch stats)
+        # (ops/pallas_sa_train.py). Default ON for TPU backends since
+        # round 5 -- the round-4 forward drift was the one-hot gather
+        # matmul rounding point values at bf16 MXU precision, fixed
+        # with Precision.HIGHEST (see the pallas_sa_train module
+        # docstring). GADDPG_PALLAS_SA_TRAIN=0 opts out; init and
+        # non-TPU keep the XLA layers below (autodiff + batch stats)
         use_fused = (
             not train
             and not self.is_initializing()

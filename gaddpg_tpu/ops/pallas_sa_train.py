@@ -30,21 +30,26 @@ re-derives gradients through an XLA reference implementation
 unfused path EXACTLY by construction, and no forward activations are
 saved (rematerialized backward).
 
-Dispatch: OPT-IN via GADDPG_PALLAS_SA_TRAIN ("1" on-device,
-"interpret" for CPU parity tests; default OFF). The eval kernel keeps
-its own GADDPG_PALLAS_SA switch. Why opt-in: on the axon emulator the
-kernel's bf16-MXU accumulation order deviates from XLA's enough that
-downstream head BatchNorm batch stats drift ~10% within 3 updates on
-real demo batches (experiments/scripts/diag_update_ab.py), so a long
-training run integrates a genuinely different trajectory than the XLA
-path -- unvalidated numerics in the hottest loop. A round-4
-identical-seed 5000-update e2e A/B measured NO final-quality gap
-(0.101 fused vs 0.104 XLA on the proc-mesh test split; both arms hit
-the same late-training collapse, tracked separately), but "no gap on
-one emulator run" is not validation: re-run that e2e A/B on real
-silicon before flipping the default. Gradients are exact by
-construction (the custom-vjp backward is the XLA recompute); the risk
-is forward-path drift only.
+Dispatch: DEFAULT ON for TPU backends since round 5
+(GADDPG_PALLAS_SA_TRAIN=0 opts out, "interpret" forces interpret mode
+for CPU parity tests). The eval kernel keeps its own GADDPG_PALLAS_SA
+switch.
+
+History of the round-4 opt-in: the kernel's forward deviated from XLA
+enough that downstream head BatchNorm stats drifted ~10% within 3
+updates (diag_update_ab.py). Round 5 root-caused it: the one-hot
+gather matmul ran at the MXU's default precision, whose bfloat16
+multiply passes rounded the GATHERED POINT VALUES themselves (~1e-2
+relative) before any arithmetic -- the gather-free group-all kernel
+never drifted. With the gather at Precision.HIGHEST (_mm_gather) the
+fused forward matches the f32 XLA reference to mean 4e-6 / max-rel
+5e-3 at flagship SA1 shapes, THREE orders of magnitude tighter than
+the bf16 deviation the production trunk already accepts (mean 7e-3,
+max-rel 3e-2; diag_sa_train.py prints all three rows). The round-4
+identical-seed 5000-update e2e A/B had already measured no
+final-quality gap (0.101 fused vs 0.104 XLA, proc test split).
+Gradients are exact by construction (the custom-vjp backward is the
+XLA recompute).
 """
 
 import functools
@@ -64,6 +69,23 @@ BN_EPS = 1e-5
 def _mm(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm_gather(onehot, table):
+    """One-hot row-select as a matmul, at HIGHEST precision.
+
+    Round-5 drift root cause: at the MXU's default precision the
+    multiply passes round `table` to bfloat16, so the GATHERED VALUES
+    themselves carry ~1e-2 relative error before any math happens --
+    the grouped-SA pooled output deviated 3.8e-2 maxrel from XLA while
+    the gather-free group-all kernel matched to 1.6e-3
+    (experiments/scripts/diag_sa_train.py). XLA's take() is exact;
+    a selection must be too. HIGHEST keeps full f32 through the pass."""
+    return jax.lax.dot_general(
+        onehot, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -132,7 +154,7 @@ def _stats_kernel(upto, idx_ref, full_ref, cpad_ref, *refs):
     def body(k, acc):
         idx_k = jnp.sum(jnp.where(col == k, idx, 0), axis=1, keepdims=True)
         onehot = (iota_n == idx_k).astype(jnp.float32)
-        h = _mm(onehot, full) - cpad
+        h = _mm_gather(onehot, full) - cpad
         for i in range(upto - 1):
             w, b, a, c = layer_params(i)
             h = jnp.maximum((_mm(h, w) + b) * a + c, 0.0)
@@ -171,7 +193,7 @@ def _forward_kernel(idx_ref, full_ref, cpad_ref, *refs):
     def body(k, acc):
         idx_k = jnp.sum(jnp.where(col == k, idx, 0), axis=1, keepdims=True)
         onehot = (iota_n == idx_k).astype(jnp.float32)
-        h = _mm(onehot, full) - cpad
+        h = _mm_gather(onehot, full) - cpad
         for i in range(3):
             w, b, a, c = params[4 * i: 4 * i + 4]
             h = jnp.maximum((_mm(h, w) + b) * a + c, 0.0)
@@ -437,10 +459,26 @@ groupall_train_fused.defvjp(_groupall_fwd, _groupall_bwd)
 
 
 def sa_train_enabled() -> bool:
-    """Train-path dispatch: explicit opt-in only (see module
-    docstring for the measured e2e regression behind the default)."""
-    return os.environ.get("GADDPG_PALLAS_SA_TRAIN", "") in (
-        "1", "interpret")
+    """Train-path dispatch: DEFAULT ON for TPU backends (round-5).
+
+    The round-4 opt-in was motivated by forward drift vs XLA; round 5
+    root-caused it to the one-hot gather matmul running at default MXU
+    precision (bfloat16 multiply passes rounded the gathered point
+    values; see _mm_gather). With the gather at HIGHEST precision the
+    kernel's deviation from the f32 XLA reference is mean 4e-6
+    (diag_sa_train.py) -- three orders of magnitude BELOW the bf16
+    deviation the production trunk already accepts (mean 7e-3), and the
+    round-4 identical-seed 5k-update e2e A/B showed no final-quality
+    gap. GADDPG_PALLAS_SA_TRAIN=0 opts out; "interpret" forces
+    interpret mode (CPU tests)."""
+    v = os.environ.get("GADDPG_PALLAS_SA_TRAIN", "")
+    if v in ("1", "interpret"):
+        return True
+    if v == "0":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def sa_train_interpret() -> bool:
