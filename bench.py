@@ -260,6 +260,7 @@ def run_bench():
     from gaddpg_tpu.ops import pallas_kernels
     from gaddpg_tpu.physics.fast import _resolve_scan_impl
 
+    t_start = time.perf_counter()
     result = {}
     if MODE in ("env", "all"):
         # probe the fused Pallas contact-scan kernel (round-1 verdict
@@ -351,10 +352,22 @@ def run_bench():
         result["pallas_pointnet"] = bool(pallas_kernels.pallas_enabled())
         result["bf16_trunk"] = os.environ.get("GADDPG_BF16", "1") == "1"
     elif MODE == "all":
+        # salvage line: if the learner phase (or this whole child) blows
+        # its budget, the supervisor recovers the LAST parseable line
+        # from partial stdout -- so the env headline must already be on
+        # the pipe, flushed, before the learner phase starts (a round-5
+        # full-bench run lost a green 1.13x env number this way)
+        print(json.dumps(result), flush=True)
         # the learner phase's XLA compile can take tens of minutes on
         # slow emulator days; run it in a bounded subprocess so the
-        # headline env metric ALWAYS prints one JSON line on time
-        budget = float(os.environ.get("BENCH_LEARNER_TIMEOUT", 1200))
+        # headline env metric ALWAYS prints one JSON line on time --
+        # and never let it push the child past the supervisor's budget
+        child_budget = float(os.environ.get("BENCH_TIMEOUT", 3000))
+        elapsed = time.perf_counter() - t_start
+        budget = float(os.environ.get(
+            "BENCH_LEARNER_TIMEOUT",
+            max(300.0, min(1200.0, child_budget - elapsed - 180.0)),
+        ))
         env = dict(os.environ, BENCH_MODE="learner")
         try:
             out = subprocess.run(
@@ -405,9 +418,24 @@ def main():
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=budget,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # the child may already have printed the env headline before
+            # the learner phase blew the budget -- salvage it rather
+            # than discarding a green number (round-5 fix)
             last_err = f"bench child timed out after {budget:.0f}s"
+            partial = e.stdout or b""
+            if isinstance(partial, bytes):
+                partial = partial.decode("utf-8", "replace")
             out = None
+            for line in reversed(partial.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    if isinstance(parsed, dict) and "metric" in parsed:
+                        parsed["learner_bench"] = "skipped (child timeout)"
+                        print(json.dumps(parsed))
+                        return
+                except json.JSONDecodeError:
+                    continue
         if out is not None:
             for line in reversed(out.stdout.strip().splitlines() or []):
                 try:
