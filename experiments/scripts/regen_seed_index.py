@@ -57,12 +57,19 @@ def main():
                       f"({time.time() - t0:.0f}s, {changed} changed)",
                       flush=True)
         lib = extend_library(empty_library(), entries, names)
-        # JSON first, cache second: the cache is valid iff its mtime >=
-        # the JSON's
-        with open(PATH, "w") as f:
-            json.dump(idx, f, indent=0)
         save_library(lib, f"{PATH}.{split}.v{PACKING_VERSION}.libcache.npz")
         print(f"[{split}] cached {len(names)} objects", flush=True)
+    # JSON once at the end, then re-touch every split cache: the loaders
+    # accept a cache iff its mtime >= the JSON's, and the round-5 run of
+    # this script wrote the JSON again during the TEST pass, silently
+    # staling the train cache and costing every consumer a ~45-minute
+    # rebuild
+    with open(PATH, "w") as f:
+        json.dump(idx, f, indent=0)
+    for split in ("train", "test"):
+        cache = f"{PATH}.{split}.v{PACKING_VERSION}.libcache.npz"
+        if os.path.exists(cache):
+            os.utime(cache, None)
     print(f"done: {changed} entries updated, {time.time() - t0:.0f}s",
           flush=True)
 
